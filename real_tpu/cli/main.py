@@ -1,0 +1,96 @@
+"""`real`-compatible command line interface.
+
+Flags mirror RealOptions.cpp:142-396 so runs can be A/B'd against the
+reference binary:
+
+  real_tpu -t <text.fa|dir> -p <reads> -o <out|-> [-s k_seed] [-e k_total]
+           [-l seedl] [-u 0|1] [-q 0|1] [-Q offset] [-f fracmem] [-T threads]
+           [-m sortthreads] [-R 0|1] [-g 0|1]
+           [-similarity x] [-err x] [-trans x] [-gc x] [-gcmut_bias x]
+           [-filter_level 0..4]
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List, Optional
+
+from real_tpu.config import RealConfig
+
+
+def parse_args(argv: List[str]) -> RealConfig:
+    cfg = RealConfig()
+    i = 0
+    flags_with_arg = {
+        "-t": ("textfilename", str), "-p": ("patternfilename", str),
+        "-o": ("outputfilename", str), "-s": ("seedkmax", int),
+        "-e": ("totalkmax", int), "-l": ("seedl", int),
+        "-f": ("fracmem", float), "-Q": ("quality_offset", int),
+        "-m": ("sort_threads", int),
+        "-similarity": ("similarity", float), "-err": ("err", float),
+        "-trans": ("trans", float), "-gc": ("gc", float),
+        "-gcmut_bias": ("gcmut_bias", float),
+        "-filter_level": ("filter_level", int),
+        # TPU-engine knobs
+        "-B": ("batch_size", int), "-K": ("cand_cap", int),
+        "-S": ("survivor_cap", int), "-shards": ("index_shards", int),
+    }
+    bool_flags = {"-u": "match_unique", "-q": "scores",
+                  "-R": "rewritepatterns", "-g": "gaps"}
+    while i < len(argv):
+        a = argv[i]
+        if a in flags_with_arg:
+            attr, typ = flags_with_arg[a]
+            setattr(cfg, attr, typ(argv[i + 1]))
+            i += 2
+        elif a in bool_flags:
+            setattr(cfg, bool_flags[a], bool(int(argv[i + 1])))
+            i += 2
+        elif a == "-T":
+            i += 2   # thread count: no-op on TPU, kept for CLI parity
+        elif a in ("-h", "--help"):
+            print(__doc__, file=sys.stderr)
+            sys.exit(0)
+        else:
+            print(f"Ignoring argument {a}", file=sys.stderr)
+            i += 1
+    if not (cfg.textfilename and cfg.patternfilename and cfg.outputfilename):
+        print(__doc__, file=sys.stderr)
+        raise SystemExit("Mandatory arguments -t/-p/-o missing")
+    cfg.validate()
+    return cfg
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    from real_tpu.cli.output import write_all, write_unique
+    from real_tpu.engine import driver
+    from real_tpu.io import reads as reads_io
+
+    cfg = parse_args(sys.argv[1:] if argv is None else argv)
+
+    rs = reads_io.parse_reads(cfg.patternfilename, cfg.quality_offset)
+    cfg.fastq = rs.fastq
+    print(f"pattern file is {'FASTQ' if rs.fastq else 'FASTA'}",
+          file=sys.stderr)
+    texts = driver.load_texts(cfg)
+
+    if cfg.outputfilename == "-":
+        out = sys.stdout
+    else:
+        out = open(cfg.outputfilename, "w")
+    try:
+        if cfg.match_unique:
+            result = driver.run_match_unique(cfg, rs, texts)
+            unique = write_unique(out, rs, result, texts, cfg.scores)
+            print(f"unique: {unique}", file=sys.stderr)
+        else:
+            hits = driver.run_match_all(cfg, rs, texts)
+            write_all(out, rs, hits, texts, cfg.scores)
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

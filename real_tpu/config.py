@@ -1,0 +1,74 @@
+"""Run configuration, mirroring the reference CLI semantics.
+
+Reference: RealOptions.{hpp,cpp}. Defaults RealOptions.hpp:27-38; clamps and
+filter_mult derivation RealOptions.cpp:434-463.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+
+
+@dataclasses.dataclass
+class RealConfig:
+    textfilename: str = ""
+    patternfilename: str = ""
+    outputfilename: str = ""
+    seedkmax: int = 2            # -s, max mismatches in seed (hard cap 2)
+    totalkmax: int = 5           # -e, max total mismatches (cap 15)
+    seedl: int = 32              # -l, seed length (<=64, multiple of 4)
+    match_unique: bool = True    # -u 1 unique-best / -u 0 all hits
+    fracmem: float = 0.75        # -f, fraction of memory budget (HBM here)
+    scores: bool = True          # -q, quality/odds-ratio scoring
+    quality_offset: int = 0      # -Q, 0 = autodetect
+    rewritepatterns: bool = True # -R, cached packed read store
+    sort_threads: int = 2        # -m (unused on TPU; kept for CLI parity)
+    filter_level: int = 2        # -filter_level 0..4
+    gaps: bool = False           # -g (experimental, disabled in reference too)
+
+    # scoring parameters (Scoring.cpp:204-208 defaults)
+    similarity: float = 0.995
+    err: float = 0.0
+    trans: float = 0.71
+    gc: float = 0.41
+    gcmut_bias: float = 2.0
+
+    fastq: bool = False          # sniffed from the pattern file
+
+    # --- TPU-engine knobs (no reference equivalent) ---
+    batch_size: int = 4096       # reads per device batch
+    cand_cap: int = 64           # max candidates examined per (read, probe)
+    survivor_cap: int = 64       # max verified hits folded per read per step
+    index_shards: int = 1        # index shards across devices
+
+    filter_mult: float = dataclasses.field(init=False, default=0.0)
+
+    def __post_init__(self) -> None:
+        self.validate()
+
+    def validate(self) -> None:
+        """Apply the reference's clamping rules (RealOptions.cpp:434-463)."""
+        if self.seedl > 64:
+            self.seedl = 64
+            print(f"reduced seed size to {self.seedl} to not exceed 64.",
+                  file=sys.stderr)
+        if self.seedl % 4:
+            self.seedl -= self.seedl % 4
+            print(f"reduced seed size to {self.seedl} to have a multiple of 4.",
+                  file=sys.stderr)
+        if self.seedl < 4:
+            raise ValueError("cannot handle seed length < 4")
+        if self.seedkmax > 2:
+            self.seedkmax = 2
+            print(f"reduced number of mismatches in seed to {self.seedkmax} "
+                  "as we cannot handle more.", file=sys.stderr)
+        if self.totalkmax > 15:
+            raise ValueError("total error limit exceeds 4-bit field (max 15)")
+        # filter_mult (RealOptions.cpp:455-463)
+        mult = {1: 0.5, 2: 1.0, 3: 2.0, 4: 3.0}.get(self.filter_level, 0.0)
+        self.filter_mult = mult * self.totalkmax / 70.0
+
+    def filter_value(self, patl: int) -> float:
+        """Epsilon for score-tie detection (RealOptions.hpp:74-77)."""
+        return self.filter_mult * patl

@@ -1,0 +1,109 @@
+"""End-to-end A/B tests against the compiled reference binary.
+
+matchUnique output is deterministic in the reference (single ordered final
+pass) => compare byte-for-byte. matchAll output is thread-interleaved =>
+compare as sorted record sets (SURVEY.md §3.2)."""
+
+import pytest
+
+from tests import ab_util
+
+
+def test_unique_noscores_fasta(ref_real, tmp_path):
+    genome, reads = ab_util.make_inputs(tmp_path, n=20000, numpat=300,
+                                        patlen=100, errprob=0.02)
+    ref = ab_util.run_reference(
+        ref_real, genome, reads, str(tmp_path / "ref.out"),
+        ab_util.ref_flags(scores=False))
+    ours = ab_util.run_ours(genome, reads, scores=False)
+    assert ours == ref
+
+
+def test_unique_scores_fasta(ref_real, tmp_path):
+    genome, reads = ab_util.make_inputs(tmp_path, n=20000, numpat=300,
+                                        patlen=100, errprob=0.02, seed=7)
+    ref = ab_util.run_reference(
+        ref_real, genome, reads, str(tmp_path / "ref.out"),
+        ab_util.ref_flags(scores=True))
+    ours = ab_util.run_ours(genome, reads, scores=True)
+    assert ours == ref
+
+
+def test_unique_scores_fastq(ref_real, tmp_path):
+    genome, reads = ab_util.make_inputs(tmp_path, n=20000, numpat=300,
+                                        patlen=100, errprob=0.02, seed=3,
+                                        fastq=True)
+    ref = ab_util.run_reference(
+        ref_real, genome, reads, str(tmp_path / "ref.out"),
+        ab_util.ref_flags(scores=True))
+    ours = ab_util.run_ours(genome, reads, scores=True)
+    assert ours == ref
+
+
+def test_unique_seedlen_reads(ref_real, tmp_path):
+    """patl == seedl: empty rest (BASELINE config 1 shape)."""
+    genome, reads = ab_util.make_inputs(tmp_path, n=20000, numpat=300,
+                                        patlen=32, errprob=0.03, seed=11)
+    ref = ab_util.run_reference(
+        ref_real, genome, reads, str(tmp_path / "ref.out"),
+        ab_util.ref_flags(scores=False, seedkmax=2, totalkmax=2))
+    ours = ab_util.run_ours(genome, reads, scores=False, seedkmax=2,
+                            totalkmax=2)
+    assert ours == ref
+
+
+def test_unique_with_n_in_genome(ref_real, tmp_path):
+    genome, reads = ab_util.make_inputs(tmp_path, n=20000, numpat=200,
+                                        patlen=80, errprob=0.02, seed=5,
+                                        n_prob=0.002)
+    ref = ab_util.run_reference(
+        ref_real, genome, reads, str(tmp_path / "ref.out"),
+        ab_util.ref_flags(scores=True))
+    ours = ab_util.run_ours(genome, reads, scores=True)
+    assert ours == ref
+
+
+def test_unique_multifragment(ref_real, tmp_path):
+    genome, reads = ab_util.make_inputs(tmp_path, n=30000, numpat=200,
+                                        patlen=75, errprob=0.02, seed=9,
+                                        num_fragments=5)
+    ref = ab_util.run_reference(
+        ref_real, genome, reads, str(tmp_path / "ref.out"),
+        ab_util.ref_flags(scores=True))
+    ours = ab_util.run_ours(genome, reads, scores=True)
+    assert ours == ref
+
+
+# NOTE: the reference's matchAll output path buffers records in a 16KB
+# thread-local ostringstream that is only written once it EXCEEDS 16384
+# bytes and is never flushed at the end
+# (matchAllImplementation.cpp:512-517) — trailing records are silently
+# dropped (a run with < 16KB of total output produces an EMPTY file).
+# So matchAll A/B asserts: reference records ⊆ ours, and cross-checks our
+# matchAll against matchUnique (which is bit-identical to the reference).
+
+
+def _matchall_ab(ref_real, tmp_path, scores, seed):
+    genome, reads = ab_util.make_inputs(tmp_path, n=20000, numpat=200,
+                                        patlen=60, errprob=0.02, seed=seed)
+    ref = ab_util.run_reference(
+        ref_real, genome, reads, str(tmp_path / "ref.out"),
+        ab_util.ref_flags(unique=False, scores=scores))
+    ours = ab_util.run_ours(genome, reads, unique=False, scores=scores)
+    ref_set = set(ab_util.as_record_set(ref))
+    our_set = set(ab_util.as_record_set(ours))
+    missing = ref_set - our_set
+    assert not missing, sorted(missing)[:5]
+
+    # cross-check: every matchUnique hit must appear among our all-hits
+    uniq = ab_util.run_ours(genome, reads, unique=True, scores=scores)
+    uniq_set = set(ab_util.as_record_set(uniq))
+    assert uniq_set <= our_set
+
+
+def test_matchall_noscores(ref_real, tmp_path):
+    _matchall_ab(ref_real, tmp_path, scores=False, seed=13)
+
+
+def test_matchall_scores(ref_real, tmp_path):
+    _matchall_ab(ref_real, tmp_path, scores=True, seed=17)
