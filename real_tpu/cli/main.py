@@ -65,10 +65,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     from real_tpu.cli.output import write_all, write_unique
     from real_tpu.engine import driver
     from real_tpu.io import reads as reads_io
+    from real_tpu.utils.cache import enable_compilation_cache
 
+    enable_compilation_cache()
     cfg = parse_args(sys.argv[1:] if argv is None else argv)
 
-    rs = reads_io.parse_reads(cfg.patternfilename, cfg.quality_offset)
+    from real_tpu.io.readstore import parse_reads_cached
+    rs = parse_reads_cached(cfg.patternfilename, cfg.quality_offset,
+                            rewrite=cfg.rewritepatterns)
     cfg.fastq = rs.fastq
     print(f"pattern file is {'FASTQ' if rs.fastq else 'FASTA'}",
           file=sys.stderr)

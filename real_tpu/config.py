@@ -41,6 +41,9 @@ class RealConfig:
     cand_cap: int = 64           # max candidates examined per (read, probe)
     survivor_cap: int = 64       # max verified hits folded per read per step
     index_shards: int = 1        # index shards across devices
+    device_index_build: bool = False  # False: NumPy host build (default —
+                                      # avoids a large one-time XLA compile;
+                                      # identical output, tested)
 
     filter_mult: float = dataclasses.field(init=False, default=0.0)
 

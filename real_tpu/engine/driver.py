@@ -73,6 +73,15 @@ def load_texts(cfg: RealConfig) -> List[TextFile]:
     return out
 
 
+def _build(cfg: RealConfig, text: PackedText, start: int, num_windows: int):
+    if cfg.device_index_build:
+        return build_index(text, cfg.seedl, start=start,
+                           num_windows=num_windows)
+    from real_tpu.index.hostbuild import build_index_host
+    return build_index_host(text, cfg.seedl, start=start,
+                            num_windows=num_windows)
+
+
 def _shard_bounds(num_windows: int, num_shards: int) -> List[Tuple[int, int]]:
     per = -(-num_windows // num_shards)
     return [(s, min(s + per, num_windows))
@@ -132,7 +141,7 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
             continue
         num_windows = text.n - cfg.seedl + 1
         for (s, e) in _shard_bounds(num_windows, cfg.index_shards):
-            index = build_index(text, cfg.seedl, start=s, num_windows=e - s)
+            index = _build(cfg, text, start=s, num_windows=e - s)
             for bi, b in enumerate(batches):
                 eps = np.float32(cfg.filter_value(b.patl))
                 states[bi], surv = match_step(
@@ -203,10 +212,13 @@ def _make_batches(cfg: RealConfig, rs: reads_io.ReadSet,
             quals_all = np.full_like(codes_all, 30, dtype=np.int8)
         valid_all = (codes_all <= 3).all(axis=1)
         B = cfg.batch_size
+        # one device shape per length bucket: tail batches pad to the same
+        # row count as full batches (jit compiles once per bucket)
+        bucket_rows = B if len(patids) > B else _round_b(len(patids), B)
         for off in range(0, len(patids), B):
             ids = patids[off:off + B]
             n = len(ids)
-            codes = np.zeros((min(B, _round_b(n, B)), patl), np.uint8)
+            codes = np.zeros((bucket_rows, patl), np.uint8)
             quals = np.full_like(codes, 30, dtype=np.int8)
             valid = np.zeros(codes.shape[0], bool)
             codes[:n] = codes_all[off:off + n] & 3  # codes 4 masked via valid
@@ -264,7 +276,7 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
             continue
         num_windows = text.n - cfg.seedl + 1
         for (s, e) in _shard_bounds(num_windows, cfg.index_shards):
-            index = build_index(text, cfg.seedl, start=s, num_windows=e - s)
+            index = _build(cfg, text, start=s, num_windows=e - s)
             for bi, b in enumerate(batches):
                 eps = np.float32(cfg.filter_value(b.patl))
                 _, surv = match_step(

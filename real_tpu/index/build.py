@@ -41,10 +41,10 @@ class SignatureIndex:
     seedl: int
 
 
-@functools.partial(jax.jit, static_argnames=("seedl", "num_windows"))
-def _build_lists(words: jnp.ndarray, nbits: jnp.ndarray, ncum: jnp.ndarray,
-                 start: jnp.ndarray, num_windows: int, seedl: int,
-                 n: jnp.ndarray):
+def build_lists_impl(words: jnp.ndarray, nbits: jnp.ndarray,
+                     ncum: jnp.ndarray,
+                     start: jnp.ndarray, num_windows: int, seedl: int,
+                     n: jnp.ndarray):
     """Build sorted lists for windows [start, start+num_windows)."""
     sc = SigConfig(seedl)
     pos = start + jnp.arange(num_windows, dtype=jnp.int32)
@@ -59,18 +59,21 @@ def _build_lists(words: jnp.ndarray, nbits: jnp.ndarray, ncum: jnp.ndarray,
     valid = in_range & is_dontcare_free(nbits, ncum, pos, seedl)
     spos = jnp.where(valid, pos, POS_SENTINEL)
 
-    sig_rows, comp_rows, pos_rows = [], [], []
-    for j in range(NUM_LISTS):
-        key = jnp.where(valid, sigs[j], SIG_SENTINEL)
-        comp = sigs[NUM_LISTS - 1 - j]
-        # stable ascending (sig, pos): reference lists are stable radix
-        # sorted, so equal signatures keep ascending text position
-        skey, sp, scomp = lax.sort((key, spos, comp), num_keys=2)
-        sig_rows.append(skey)
-        pos_rows.append(sp)
-        comp_rows.append(scomp)
+    # one batched variadic sort over all six lists ([6, M] rows) — a single
+    # XLA sort op keeps (remote) compile time flat vs six separate sorts
+    keys = jnp.stack([jnp.where(valid, sigs[j], SIG_SENTINEL)
+                      for j in range(NUM_LISTS)])
+    comps = jnp.stack([sigs[NUM_LISTS - 1 - j] for j in range(NUM_LISTS)])
+    poss = jnp.broadcast_to(spos, (NUM_LISTS, num_windows))
+    # stable ascending (sig, pos): reference lists are stable radix sorted,
+    # so equal signatures keep ascending text position
+    skey, sp, scomp = lax.sort((keys, poss, comps), num_keys=2,
+                               dimension=1)
+    return skey, scomp, sp
 
-    return (jnp.stack(sig_rows), jnp.stack(comp_rows), jnp.stack(pos_rows))
+
+_build_lists = jax.jit(build_lists_impl,
+                       static_argnames=("seedl", "num_windows"))
 
 
 def build_index(text: PackedText, seedl: int,

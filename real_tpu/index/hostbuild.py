@@ -1,0 +1,96 @@
+"""Host-side (NumPy) index construction.
+
+Same output as index.build (six sorted (sig, comp, pos) lists) computed with
+vectorized NumPy and one uint64 composite-key argsort per list. Used for
+single-host runs: device HBM then only holds the finished sorted lists, and
+cold-start avoids a large one-time XLA compile of the build program (the
+sorted index is a pure data artifact — where it was sorted cannot change
+results, and tests assert host == device build).
+
+The reference's equivalent is MapTextFile::readLists + OpenMP radix sort
+(MapTextFile.hpp:181-230, ParallelRadixSort.hpp).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from real_tpu.index.signatures import NUM_LISTS, SigConfig
+
+POS_SENTINEL = np.int32(0x7FFFFFFF)
+SIG_SENTINEL = np.uint32(0xFFFFFFFF)
+
+
+def _extract_bases16_np(words: np.ndarray, base_pos: np.ndarray) -> np.ndarray:
+    bitpos = base_pos.astype(np.int64) << 1
+    idx = bitpos >> 5
+    sh = (bitpos & 31).astype(np.uint32)
+    w0 = words[idx]
+    w1 = words[np.minimum(idx + 1, len(words) - 1)]
+    hi = (w0 << sh).astype(np.uint32)
+    lo = ((w1 >> (np.uint32(31) - sh)) >> 1).astype(np.uint32)
+    return hi | lo
+
+
+def _n_rank_excl_np(nbits: np.ndarray, ncum: np.ndarray,
+                    p: np.ndarray) -> np.ndarray:
+    wi = (p >> 5).astype(np.int64)
+    bo = (p & 31).astype(np.uint32)
+    w = nbits[np.minimum(wi, len(nbits) - 1)]
+    partial = np.bitwise_count((w >> (np.uint32(31) - bo)) >> 1)
+    return ncum[np.minimum(wi, len(ncum) - 1)] + partial.astype(np.int32)
+
+
+def build_lists_host(words: np.ndarray, nbits: np.ndarray, ncum: np.ndarray,
+                     n: int, seedl: int, start: int = 0,
+                     num_windows: int | None = None):
+    """Returns (sig, comp, pos) uint32/uint32/int32 arrays [6, M]."""
+    sc = SigConfig(seedl)
+    sc.validate()
+    total = max(n - seedl + 1, 0)
+    if num_windows is None:
+        num_windows = total - start
+    pos = start + np.arange(num_windows, dtype=np.int64)
+
+    segs = []
+    for off, w in zip(sc.seg_offsets, sc.syms):
+        v = _extract_bases16_np(words, pos + off)
+        segs.append((v >> np.uint32(2 * (16 - w))).astype(np.uint32))
+    sigs = sc.compose_pairs(segs)
+
+    valid = pos <= (n - seedl)
+    valid &= (_n_rank_excl_np(nbits, ncum, pos + seedl)
+              - _n_rank_excl_np(nbits, ncum, pos)) == 0
+    pos32 = np.where(valid, pos, POS_SENTINEL).astype(np.int32)
+
+    sig_out = np.empty((NUM_LISTS, num_windows), np.uint32)
+    comp_out = np.empty((NUM_LISTS, num_windows), np.uint32)
+    pos_out = np.empty((NUM_LISTS, num_windows), np.int32)
+    for j in range(NUM_LISTS):
+        key = np.where(valid, sigs[j], SIG_SENTINEL)
+        # composite key (sig << 31 | pos) -> one u64 argsort per list, stable
+        # ascending position within equal signatures like the reference's
+        # stable radix sort (ParallelRadixSort.hpp)
+        composite = (key.astype(np.uint64) << np.uint64(31)) \
+            | pos32.astype(np.uint64)
+        order = np.argsort(composite, kind="stable")
+        sig_out[j] = key[order]
+        comp_out[j] = sigs[NUM_LISTS - 1 - j][order]
+        pos_out[j] = pos32[order]
+    return sig_out, comp_out, pos_out
+
+
+def build_index_host(text, seedl: int, start: int = 0,
+                     num_windows: int | None = None):
+    """Host-built SignatureIndex with device-resident arrays."""
+    import jax.numpy as jnp
+
+    from real_tpu.index.build import SignatureIndex
+
+    words = np.asarray(text.words)
+    nbits = np.asarray(text.nbits)
+    ncum = np.asarray(text.ncum)
+    sig, comp, pos = build_lists_host(words, nbits, ncum, text.n, seedl,
+                                      start, num_windows)
+    return SignatureIndex(sig=jnp.asarray(sig), comp=jnp.asarray(comp),
+                          pos=jnp.asarray(pos), seedl=seedl)

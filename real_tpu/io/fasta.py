@@ -34,6 +34,10 @@ def parse_genome(path: str) -> Tuple[np.ndarray, List[Tuple[str, int]]]:
     """
     with open(path, "rb") as f:
         buf = np.frombuffer(f.read(), dtype=np.uint8)
+    from real_tpu.io import native_io
+    res = native_io.parse_genome_native(buf)
+    if res is not None:
+        return res
     return parse_genome_bytes(buf)
 
 

@@ -89,12 +89,31 @@ def sniff_fastq(path: str) -> bool:
                 return c == b"@"
 
 
-def parse_reads(path: str, quality_offset: int = 0) -> ReadSet:
-    with open(path, "rb") as f:
-        buf = np.frombuffer(f.read(), dtype=np.uint8)
-    if sniff_fastq(path):
+def parse_reads(path: str, quality_offset: int = 0,
+                use_native: bool = True) -> ReadSet:
+    """Parse a read file ('-' = stdin, RealOptions.cpp:418-426). Prefers
+    the native C++ parser (real_tpu/native) with NumPy fallback."""
+    if path == "-":
+        import sys
+        buf = np.frombuffer(sys.stdin.buffer.read(), dtype=np.uint8)
+    else:
+        with open(path, "rb") as f:
+            buf = np.frombuffer(f.read(), dtype=np.uint8)
+    fastq = bool(buf.size) and _first_nonspace(buf) == ord("@")
+    if use_native:
+        from real_tpu.io import native_io
+        rs = (native_io.parse_fastq_native(buf, quality_offset) if fastq
+              else native_io.parse_fasta_reads_native(buf))
+        if rs is not None:
+            return rs
+    if fastq:
         return parse_fastq_bytes(buf, quality_offset)
     return parse_fasta_reads_bytes(buf)
+
+
+def _first_nonspace(buf: np.ndarray) -> int:
+    idx = np.flatnonzero(~_WHITESPACE[buf])
+    return int(buf[idx[0]]) if len(idx) else 0
 
 
 def _line_table(buf: np.ndarray):

@@ -1,0 +1,259 @@
+// Native host-side read parsing & packing — the TPU framework's equivalent
+// of the reference's C++ input stack (FastAReader.hpp / FastQReader.hpp /
+// TemporaryFile.hpp binary rewrite). One pass counts records, a second
+// fills dense buffers; both are branch-light byte scans designed to feed
+// the device pipeline at >1 GB/s so the host never starves the TPU.
+//
+// Exposed via a C ABI for ctypes (no pybind11 in this image).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+// A,C,G,T -> 0..3, everything else -> 4 (N). Matches acgtnMap.hpp:39-49.
+struct MapTable {
+    uint8_t t[256];
+    MapTable() {
+        memset(t, 4, sizeof(t));
+        t[uint8_t('A')] = 0; t[uint8_t('C')] = 1;
+        t[uint8_t('G')] = 2; t[uint8_t('T')] = 3;
+    }
+};
+const MapTable MAP;
+
+struct SpaceTable {
+    bool t[256];
+    SpaceTable() {
+        memset(t, 0, sizeof(t));
+        t[uint8_t(' ')] = t[uint8_t('\t')] = t[uint8_t('\r')] =
+            t[uint8_t('\n')] = t[uint8_t('\v')] = t[uint8_t('\f')] = true;
+    }
+};
+const SpaceTable SPACE;
+
+inline const uint8_t* find_nl(const uint8_t* p, const uint8_t* end) {
+    const uint8_t* nl = (const uint8_t*)memchr(p, '\n', end - p);
+    return nl ? nl : end;
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// FASTA reads ('>' records, multi-line sequences, whitespace stripped)
+// ---------------------------------------------------------------------------
+
+// Pass 1: count records, total sequence bases, total id bytes.
+void fasta_reads_count(const uint8_t* buf, int64_t n,
+                       int64_t* num_reads, int64_t* total_bases,
+                       int64_t* total_id_bytes) {
+    int64_t reads = 0, bases = 0, idb = 0;
+    const uint8_t* p = buf;
+    const uint8_t* end = buf + n;
+    bool in_record = false;
+    while (p < end) {
+        const uint8_t* nl = find_nl(p, end);
+        if (*p == '>') {
+            ++reads;
+            in_record = true;
+            idb += (nl - p) - 1;
+        } else if (in_record) {
+            for (const uint8_t* q = p; q < nl; ++q)
+                if (!SPACE.t[*q]) ++bases;
+        }
+        p = nl + 1;
+    }
+    *num_reads = reads;
+    *total_bases = bases;
+    *total_id_bytes = idb;
+}
+
+// Pass 2: fill codes (mapped 0..4), per-read offsets (len num_reads+1),
+// id bytes and id offsets (len num_reads+1).
+void fasta_reads_fill(const uint8_t* buf, int64_t n,
+                      uint8_t* codes, int64_t* offsets,
+                      uint8_t* ids, int64_t* id_offsets) {
+    const uint8_t* p = buf;
+    const uint8_t* end = buf + n;
+    int64_t r = -1, c = 0, ib = 0;
+    offsets[0] = 0;
+    id_offsets[0] = 0;
+    while (p < end) {
+        const uint8_t* nl = find_nl(p, end);
+        if (*p == '>') {
+            ++r;
+            offsets[r] = c;
+            int64_t len = (nl - p) - 1;
+            memcpy(ids + ib, p + 1, len);
+            ib += len;
+            id_offsets[r + 1] = ib;
+        } else if (r >= 0) {
+            for (const uint8_t* q = p; q < nl; ++q)
+                if (!SPACE.t[*q]) codes[c++] = MAP.t[*q];
+        }
+        p = nl + 1;
+    }
+    offsets[r + 1] = c;
+}
+
+// ---------------------------------------------------------------------------
+// FASTQ (strict 4-line records; quality offset subtracted by caller)
+// Returns 0 on success, -1 if the structure is not 4-line-regular
+// (caller falls back to the general parser).
+// ---------------------------------------------------------------------------
+
+int fastq_reads_count(const uint8_t* buf, int64_t n,
+                      int64_t* num_reads, int64_t* total_bases,
+                      int64_t* total_id_bytes) {
+    int64_t reads = 0, bases = 0, idb = 0;
+    const uint8_t* p = buf;
+    const uint8_t* end = buf + n;
+    while (p < end) {
+        if (*p != '@') return -1;
+        const uint8_t* nl0 = find_nl(p, end);
+        idb += (nl0 - p) - 1;
+        const uint8_t* s = nl0 + 1;
+        if (s >= end) return -1;
+        const uint8_t* nl1 = find_nl(s, end);
+        int64_t slen = 0;
+        for (const uint8_t* q = s; q < nl1; ++q)
+            if (!SPACE.t[*q]) ++slen;
+        bases += slen;
+        const uint8_t* plus = nl1 + 1;
+        if (plus >= end || *plus != '+') return -1;
+        const uint8_t* nl2 = find_nl(plus, end);
+        const uint8_t* qual = nl2 + 1;
+        if (qual > end) return -1;
+        const uint8_t* nl3 = find_nl(qual, end);
+        int64_t qlen = 0;
+        for (const uint8_t* q = qual; q < nl3; ++q)
+            if (!SPACE.t[*q]) ++qlen;
+        if (qlen != slen) return -1;
+        ++reads;
+        p = nl3 + 1;
+    }
+    *num_reads = reads;
+    *total_bases = bases;
+    *total_id_bytes = idb;
+    return 0;
+}
+
+int fastq_reads_fill(const uint8_t* buf, int64_t n,
+                     uint8_t* codes, int8_t* quals, int64_t* offsets,
+                     uint8_t* ids, int64_t* id_offsets,
+                     int32_t quality_offset) {
+    const uint8_t* p = buf;
+    const uint8_t* end = buf + n;
+    int64_t r = 0, c = 0, ib = 0;
+    offsets[0] = 0;
+    id_offsets[0] = 0;
+    while (p < end) {
+        const uint8_t* nl0 = find_nl(p, end);
+        int64_t idlen = (nl0 - p) - 1;
+        memcpy(ids + ib, p + 1, idlen);
+        ib += idlen;
+        id_offsets[r + 1] = ib;
+        const uint8_t* s = nl0 + 1;
+        const uint8_t* nl1 = find_nl(s, end);
+        for (const uint8_t* q = s; q < nl1; ++q)
+            if (!SPACE.t[*q]) codes[c++] = MAP.t[*q];
+        const uint8_t* plus = nl1 + 1;
+        const uint8_t* nl2 = find_nl(plus, end);
+        const uint8_t* qv = nl2 + 1;
+        const uint8_t* nl3 = find_nl(qv, end);
+        int64_t qc = offsets[r];
+        for (const uint8_t* q = qv; q < nl3; ++q)
+            if (!SPACE.t[*q]) quals[qc++] = int8_t(int32_t(*q)
+                                                   - quality_offset);
+        if (qc != c) return -1;
+        ++r;
+        offsets[r] = c;
+        p = nl3 + 1;
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Genome FASTA (countReads.cpp semantics: only uppercase ACGTN kept)
+// ---------------------------------------------------------------------------
+
+void genome_count(const uint8_t* buf, int64_t n,
+                  int64_t* total_bases, int64_t* num_fragments,
+                  int64_t* total_id_bytes) {
+    int64_t bases = 0, frags = 0, idb = 0;
+    const uint8_t* p = buf;
+    const uint8_t* end = buf + n;
+    while (p < end) {
+        const uint8_t* nl = find_nl(p, end);
+        if (*p == '>') {
+            if (nl < end) {  // only newline-terminated headers count
+                ++frags;
+                idb += (nl - p) - 1;
+            }
+        } else {
+            for (const uint8_t* q = p; q < nl; ++q) {
+                uint8_t m = MAP.t[*q];
+                if (m < 4 || *q == 'N') ++bases;
+            }
+        }
+        p = nl + 1;
+    }
+    *total_bases = bases;
+    *num_fragments = frags;
+    *total_id_bytes = idb;
+}
+
+void genome_fill(const uint8_t* buf, int64_t n,
+                 uint8_t* codes, int64_t* frag_offsets,
+                 uint8_t* ids, int64_t* id_offsets) {
+    const uint8_t* p = buf;
+    const uint8_t* end = buf + n;
+    int64_t c = 0, f = 0, ib = 0;
+    id_offsets[0] = 0;
+    while (p < end) {
+        const uint8_t* nl = find_nl(p, end);
+        if (*p == '>') {
+            if (nl < end) {
+                frag_offsets[f] = c;
+                int64_t len = (nl - p) - 1;
+                memcpy(ids + ib, p + 1, len);
+                ib += len;
+                id_offsets[f + 1] = ib;
+                ++f;
+            }
+        } else {
+            for (const uint8_t* q = p; q < nl; ++q) {
+                uint8_t m = MAP.t[*q];
+                if (m < 4) codes[c++] = m;
+                else if (*q == 'N') codes[c++] = 4;
+            }
+        }
+        p = nl + 1;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// 2-bit row packing (length-bucketed read store, TemporaryFile.hpp analogue)
+// codes [rows x row_len] -> uint32 words MSB-first, 16 bases/word
+// ---------------------------------------------------------------------------
+
+void pack_rows_2bit(const uint8_t* codes, int64_t rows, int64_t row_len,
+                    uint32_t* out, int64_t words_per_row) {
+    for (int64_t r = 0; r < rows; ++r) {
+        const uint8_t* src = codes + r * row_len;
+        uint32_t* dst = out + r * words_per_row;
+        for (int64_t w = 0; w < words_per_row; ++w) {
+            uint32_t v = 0;
+            int64_t base = w * 16;
+            int64_t lim = row_len - base;
+            if (lim > 16) lim = 16;
+            for (int64_t i = 0; i < lim; ++i)
+                v |= uint32_t(src[base + i] & 3) << (2 * (15 - i));
+            dst[w] = v;
+        }
+    }
+}
+
+}  // extern "C"

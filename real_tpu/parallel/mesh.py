@@ -1,0 +1,131 @@
+"""Multi-chip scaling: index sharding + read data-parallelism on a Mesh.
+
+TPU-first replacement for the reference's sequential memory-bounded block
+streaming (matchUniqueImplementation.cpp:1253-1297): instead of building
+index blocks one after another and re-streaming all reads per block, every
+device holds ONE index shard (a contiguous window range of the genome) and
+its slice of the read batch; the packed text (2 bits/base, 18x smaller than
+the lists) is replicated.
+
+Mesh axes:
+  dp    — reads are data-parallel (reference: OpenMP threads over blocks)
+  shard — the index is sharded (reference: sequential blocks)
+
+Cross-shard merge: each device's verified survivors (<= S per read) are
+all-gathered over the shard axis and folded through the best-hit automaton
+in shard-major order — which IS the reference's block-major merge order, so
+even the order-sensitive scores mode stays bit-exact (see
+matchstep.fold_unique). The no-scores automaton is additionally an
+associative commutative monoid (engine/monoid.py), so that mode could use a
+tree all-reduce; we keep the ordered gather-fold for both since survivor
+tensors are tiny (n_shard * B * S records).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from real_tpu.engine.matchstep import (MatchState, Survivors, find_survivors,
+                                       fold_unique, score_survivors)
+from real_tpu.index.signatures import NUM_LISTS
+from real_tpu.text.packed import PackedText
+
+
+def make_mesh(n_dp: int, n_shard: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= n_dp * n_shard
+    dev = np.asarray(devices[: n_dp * n_shard]).reshape(n_dp, n_shard)
+    return Mesh(dev, ("dp", "shard"))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("seedl", "num_windows", "mesh"))
+def build_sharded_index(words, nbits, ncum, n, *, seedl: int,
+                        num_windows: int, mesh: Mesh):
+    """Build [n_shard, 6, M_s] index arrays, shard s covering windows
+    [s*M_s, (s+1)*M_s). Each device sorts only its own shard's lists."""
+    n_shard = mesh.shape["shard"]
+    per = -(-num_windows // n_shard)
+
+    def local_build(words, nbits, ncum, n):
+        from real_tpu.index.build import build_lists_impl
+        s = lax.axis_index("shard")
+        sig, comp, pos = build_lists_impl(
+            words, nbits, ncum, (s * per).astype(jnp.int32), per, seedl, n)
+        return sig[None], comp[None], pos[None]
+
+    fn = jax.shard_map(
+        local_build, mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=P("shard"))
+    return fn(words, nbits, ncum, n)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("seedl", "seedkmax", "totalkmax", "cand_cap",
+                     "survivor_cap", "scores", "score_mode", "mesh"))
+def sharded_match_step(index_sig, index_comp, index_pos,     # [n_shard,6,M]
+                       words, nbits, ncum, frag_offsets,     # replicated
+                       codes, quals, read_valid,             # [B,...] dp
+                       state: MatchState, fileid, epsilon,
+                       ll_hi, ll_lo,
+                       *, seedl: int, seedkmax: int, totalkmax: int,
+                       cand_cap: int, survivor_cap: int,
+                       scores: bool, score_mode: str, mesh: Mesh):
+    """One full step over the mesh: every (dp, shard) device verifies its
+    read slice against its index shard; survivors are all-gathered over
+    'shard' and folded in shard-major (= reference block-major) order."""
+
+    def local_step(sig, comp, pos, words, nbits, ncum, frag_offsets,
+                   codes, quals, read_valid, state, fileid, epsilon,
+                   ll_hi, ll_lo):
+        sig, comp, pos = sig[0], comp[0], pos[0]    # drop shard dim
+        surv = find_survivors(
+            sig, comp, pos, words, nbits, ncum, frag_offsets,
+            codes, quals, read_valid,
+            seedl=seedl, seedkmax=seedkmax, totalkmax=totalkmax,
+            cand_cap=cand_cap, survivor_cap=survivor_cap)
+        if scores:
+            surv = score_survivors(surv, words, codes, quals, ll_hi, ll_lo,
+                                   score_mode=score_mode)
+        # gather survivors over the shard axis: [n_shard, B_loc, S]
+        gathered = jax.tree.map(
+            lambda a: lax.all_gather(a, "shard", axis=0, tiled=False),
+            surv)
+        nsh = gathered.valid.shape[0]
+
+        def shard_major(a):   # [n_shard, B, S] -> [B, n_shard*S]
+            return jnp.swapaxes(a, 0, 1).reshape(a.shape[1], -1)
+
+        seq = Survivors(
+            valid=shard_major(gathered.valid),
+            inv=shard_major(gathered.inv),
+            pos=shard_major(gathered.pos),
+            frag=shard_major(gathered.frag),
+            k=shard_major(gathered.k),
+            score=shard_major(gathered.score),
+            overflow=gathered.overflow.any(axis=0),
+        )
+        new_state = fold_unique(state, seq, fileid, epsilon, scores=scores)
+        return new_state, seq.overflow
+
+    fn = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P("shard"), P("shard"), P("shard"),
+                  P(), P(), P(), P(),
+                  P("dp"), P("dp"), P("dp"),
+                  jax.tree.map(lambda _: P("dp"), state),
+                  P(), P(), P(), P()),
+        out_specs=(jax.tree.map(lambda _: P("dp"), state), P("dp")),
+        check_vma=False)
+    return fn(index_sig, index_comp, index_pos, words, nbits, ncum,
+              frag_offsets, codes, quals, read_valid, state,
+              jnp.int32(fileid), jnp.float32(epsilon), ll_hi, ll_lo)

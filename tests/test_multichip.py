@@ -1,0 +1,82 @@
+"""Mesh-sharded matching must equal the single-device result exactly
+(8 virtual CPU devices; dp x shard meshes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from real_tpu.engine.matchstep import initial_state, match_step
+from real_tpu.index.build import build_index
+from real_tpu.io import fasta
+from real_tpu.parallel.mesh import (build_sharded_index, make_mesh,
+                                    sharded_match_step)
+from real_tpu.scoring.scoring import Scoring
+from real_tpu.text.packed import build_packed_text
+from real_tpu.tools import simulate
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    g = os.path.join(d, "g.fa")
+    with open(g, "w") as f:
+        f.write(simulate.random_genome(30000, seed=21, num_fragments=3))
+    codes, ranges = fasta.parse_genome(g)
+    text = build_packed_text(codes, ranges)
+    rds = simulate.generate_reads(codes, 256, 80, 0.03, False, seed=22)
+    batch = np.zeros((256, 80), np.uint8)
+    for i, r in enumerate(rds):
+        from real_tpu.io.reads import _MAP_TABLE
+        batch[i] = _MAP_TABLE[np.frombuffer(r.seq.encode(), np.uint8)]
+    quals = np.full_like(batch, 30, np.int8)
+    valid = np.ones(256, bool)
+    sc = Scoring()
+    hi, lo = sc.ll_f32_pair()
+    return text, jnp.asarray(batch), jnp.asarray(quals), \
+        jnp.asarray(valid), jnp.asarray(hi), jnp.asarray(lo)
+
+
+KW = dict(seedl=32, seedkmax=2, totalkmax=5, cand_cap=32, survivor_cap=32,
+          score_mode="f64")
+
+
+def _single(text, codes, quals, valid, hi, lo, scores):
+    index = build_index(text, 32)
+    st, _ = match_step(
+        index.sig, index.comp, index.pos,
+        text.words, text.nbits, text.ncum, text.frag_offsets,
+        codes, quals, valid, initial_state(codes.shape[0]),
+        jnp.int32(0), np.float32(80 * 5 / 70.0), hi, lo,
+        scores=scores, matchall=False, **KW)
+    return jax.tree.map(np.asarray, st)
+
+
+def _sharded(text, codes, quals, valid, hi, lo, scores, n_dp, n_shard):
+    mesh = make_mesh(n_dp, n_shard)
+    num_windows = text.n - 32 + 1
+    sig, comp, pos = build_sharded_index(
+        text.words, text.nbits, text.ncum, jnp.int32(text.n),
+        seedl=32, num_windows=num_windows, mesh=mesh)
+    st, _of = sharded_match_step(
+        sig, comp, pos,
+        text.words, text.nbits, text.ncum, text.frag_offsets,
+        codes, quals, valid, initial_state(codes.shape[0]),
+        0, np.float32(80 * 5 / 70.0), hi, lo,
+        scores=scores, mesh=mesh, **KW)
+    return jax.tree.map(np.asarray, st)
+
+
+@pytest.mark.parametrize("scores", [False, True])
+@pytest.mark.parametrize("n_dp,n_shard", [(1, 4), (4, 2), (8, 1), (2, 4)])
+def test_sharded_equals_single(setup, scores, n_dp, n_shard):
+    text, codes, quals, valid, hi, lo = setup
+    ref = _single(text, codes, quals, valid, hi, lo, scores)
+    got = _sharded(text, codes, quals, valid, hi, lo, scores, n_dp, n_shard)
+    assert (got.st == ref.st).all()
+    matched = (ref.st == 1) | (ref.st == 2)
+    for f in ("pos", "frag", "errs"):
+        assert (getattr(got, f)[matched] == getattr(ref, f)[matched]).all()
+    if scores:
+        assert (got.score[matched] == ref.score[matched]).all()
