@@ -37,13 +37,17 @@ class RealConfig:
     fastq: bool = False          # sniffed from the pattern file
 
     # --- TPU-engine knobs (no reference equivalent) ---
-    batch_size: int = 4096       # reads per device batch
-    cand_cap: int = 64           # max candidates examined per (read, probe)
-    survivor_cap: int = 64       # max verified hits folded per read per step
+    batch_size: int = 8192       # reads per device batch
+    # Candidate/survivor caps size the fixed-shape verify lanes. Real
+    # genomes average <1 candidate per probe, so small caps keep the
+    # gather volume minimal; reads that overflow are automatically rerun
+    # with 4x-escalated caps (engine/driver.py), preserving exactness.
+    cand_cap: int = 8            # max candidates examined per (read, probe)
+    survivor_cap: int = 8        # max verified hits folded per read per step
     index_shards: int = 1        # index shards across devices
-    device_index_build: bool = False  # False: NumPy host build (default —
-                                      # avoids a large one-time XLA compile;
-                                      # identical output, tested)
+    device_index_build: bool = True   # True: lax.sort on device (fast; one
+                                      # cached XLA compile). False: NumPy
+                                      # host build — identical output, tested
 
     filter_mult: float = dataclasses.field(init=False, default=0.0)
 
