@@ -22,6 +22,7 @@ std::equal_range's unbounded hit ranges.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import sys
 from typing import Dict, List, Optional, Tuple
 
@@ -31,10 +32,11 @@ import numpy as np
 
 from real_tpu.config import RealConfig
 from real_tpu.engine import matchstep
-from real_tpu.engine.matchstep import MatchState, initial_state, match_step
+from real_tpu.engine.matchstep import MatchState, initial_state, \
+    match_step, null_score_prep
 from real_tpu.index.build import build_index
 from real_tpu.io import fasta, reads as reads_io
-from real_tpu.scoring.scoring import Scoring
+from real_tpu.scoring.scoring import Scoring, make_score_prep
 from real_tpu.text.packed import PackedText, build_packed_text
 
 _REMAP = np.frombuffer(b"ACGTN", dtype=np.uint8)
@@ -113,9 +115,7 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
 
     scoring = Scoring(cfg.similarity, cfg.gc, cfg.trans, cfg.err,
                       cfg.gcmut_bias)
-    ll_hi, ll_lo = scoring.ll_f32_pair()
-    ll_hi = jnp.asarray(ll_hi)
-    ll_lo = jnp.asarray(ll_lo)
+    prep_fn = make_score_prep(scoring) if cfg.scores else None
 
     result = MatchResult(
         st=np.zeros(numpat, np.int32), pos=np.zeros(numpat, np.int32),
@@ -126,7 +126,11 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
     batches = _make_batches(cfg, rs, patid_filter)
     states: Dict[int, MatchState] = {
         bi: initial_state(b.codes.shape[0]) for bi, b in enumerate(batches)}
+    preps = [prep_fn(b.codes, b.quals) if cfg.scores
+             else null_score_prep(b.codes.shape[0], b.patl)
+             for b in batches]
     overflow = np.zeros(numpat, bool)
+    overflows: Dict[int, list] = {}
 
     for fi, tf in enumerate(texts):
         text = tf.packed
@@ -148,23 +152,35 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
                     index.sig, index.comp, index.pos,
                     text.words, text.nbits, text.ncum, text.frag_offsets,
                     b.codes, b.quals, b.valid,
-                    states[bi], jnp.int32(fi), eps, ll_hi, ll_lo,
+                    states[bi], jnp.int32(fi), eps, preps[bi],
                     seedl=cfg.seedl, seedkmax=cfg.seedkmax,
                     totalkmax=cfg.totalkmax, cand_cap=cand_cap,
                     survivor_cap=survivor_cap, scores=cfg.scores,
                     score_mode=score_mode, matchall=False)
-                of = np.asarray(surv.overflow)
-                overflow[b.patids[of[: len(b.patids)]]] = True
+                overflows.setdefault(bi, []).append(surv.overflow)
 
+    # one D2H round-trip for everything: concatenate per-batch state and
+    # overflow on device, fetch once
+    allst = _concat_states([states[bi] for bi in range(len(batches))])
+    allover = [functools.reduce(jnp.logical_or, overflows[bi])
+               if bi in overflows else jnp.zeros(
+                   batches[bi].codes.shape[0], bool)
+               for bi in range(len(batches))]
+    allover = jnp.concatenate(allover) if allover else jnp.zeros(0, bool)
+    st = jax.tree.map(np.asarray, allst)
+    over = np.asarray(allover)
+    off = 0
     for bi, b in enumerate(batches):
-        st = jax.tree.map(np.asarray, states[bi])
+        rows = b.codes.shape[0]
         n = len(b.patids)
-        result.st[b.patids] = st.st[:n]
-        result.pos[b.patids] = st.pos[:n]
-        result.frag[b.patids] = st.frag[:n]
-        result.fileid[b.patids] = st.fileid[:n]
-        result.errs[b.patids] = st.errs[:n]
-        result.score[b.patids] = st.score[:n]
+        result.st[b.patids] = st.st[off:off + n]
+        result.pos[b.patids] = st.pos[off:off + n]
+        result.frag[b.patids] = st.frag[off:off + n]
+        result.fileid[b.patids] = st.fileid[off:off + n]
+        result.errs[b.patids] = st.errs[off:off + n]
+        result.score[b.patids] = st.score[off:off + n]
+        overflow[b.patids[over[off:off + n]]] = True
+        off += rows
 
     over_ids = np.flatnonzero(overflow)
     if len(over_ids):
@@ -213,21 +229,37 @@ def _make_batches(cfg: RealConfig, rs: reads_io.ReadSet,
         valid_all = (codes_all <= 3).all(axis=1)
         B = cfg.batch_size
         # one device shape per length bucket: tail batches pad to the same
-        # row count as full batches (jit compiles once per bucket)
+        # row count as full batches (jit compiles once per bucket).
+        # Upload the whole bucket in ONE host->device transfer (padded to a
+        # batch multiple), then slice per batch on device — per-batch
+        # transfers are latency-bound on remote/tunneled devices.
         bucket_rows = B if len(patids) > B else _round_b(len(patids), B)
-        for off in range(0, len(patids), B):
-            ids = patids[off:off + B]
-            n = len(ids)
-            codes = np.zeros((bucket_rows, patl), np.uint8)
-            quals = np.full_like(codes, 30, dtype=np.int8)
-            valid = np.zeros(codes.shape[0], bool)
-            codes[:n] = codes_all[off:off + n] & 3  # codes 4 masked via valid
-            quals[:n] = quals_all[off:off + n]
-            valid[:n] = valid_all[off:off + n]
+        nb = -(-len(patids) // bucket_rows)
+        rows = nb * bucket_rows
+        n = len(patids)
+        codes = np.zeros((rows, patl), np.uint8)
+        quals = np.full((rows, patl), 30, np.int8)
+        valid = np.zeros(rows, bool)
+        codes[:n] = codes_all & 3   # codes 4 (N) masked via valid
+        quals[:n] = quals_all
+        valid[:n] = valid_all
+        dcodes = jnp.asarray(codes)
+        dquals = jnp.asarray(quals)
+        dvalid = jnp.asarray(valid)
+        for k in range(nb):
+            o = k * bucket_rows
+            ids = patids[o:o + bucket_rows]
             batches.append(Batch(
-                patids=ids, patl=patl, codes=jnp.asarray(codes),
-                quals=jnp.asarray(quals), valid=jnp.asarray(valid)))
+                patids=ids, patl=patl,
+                codes=dcodes[o:o + bucket_rows],
+                quals=dquals[o:o + bucket_rows],
+                valid=dvalid[o:o + bucket_rows]))
     return batches
+
+
+@jax.jit
+def _concat_states(states: List[MatchState]) -> MatchState:
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs), *states)
 
 
 def _round_b(n: int, bmax: int) -> int:
@@ -260,15 +292,16 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
 
     scoring = Scoring(cfg.similarity, cfg.gc, cfg.trans, cfg.err,
                       cfg.gcmut_bias)
-    ll_hi, ll_lo = scoring.ll_f32_pair()
-    ll_hi = jnp.asarray(ll_hi)
-    ll_lo = jnp.asarray(ll_lo)
+    prep_fn = make_score_prep(scoring) if cfg.scores else None
 
     batches = _make_batches(cfg, rs, patid_filter)
     hits: Dict[int, List[tuple]] = {}
     overflow = np.zeros(rs.num_reads, bool)
     dummy_states = {bi: initial_state(b.codes.shape[0])
                     for bi, b in enumerate(batches)}
+    preps = [prep_fn(b.codes, b.quals) if cfg.scores
+             else null_score_prep(b.codes.shape[0], b.patl)
+             for b in batches]
 
     for fi, tf in enumerate(texts):
         text = tf.packed
@@ -283,7 +316,7 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
                     index.sig, index.comp, index.pos,
                     text.words, text.nbits, text.ncum, text.frag_offsets,
                     b.codes, b.quals, b.valid,
-                    dummy_states[bi], jnp.int32(fi), eps, ll_hi, ll_lo,
+                    dummy_states[bi], jnp.int32(fi), eps, preps[bi],
                     seedl=cfg.seedl, seedkmax=cfg.seedkmax,
                     totalkmax=cfg.totalkmax, cand_cap=cand_cap,
                     survivor_cap=survivor_cap, scores=cfg.scores,

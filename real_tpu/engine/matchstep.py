@@ -4,12 +4,30 @@ TPU-first redesign of the reference's candidate loop (match.hpp:335-416):
 
   reference (scalar, per read, per list)          this engine (vectorized)
   ------------------------------------------     -------------------------
-  bucket table + std::equal_range                jnp.searchsorted (x2)
-  for each candidate: diffcountpair(seed)        gathers + XOR + pair-fold
-  RestMatch popcount loop                        + lax.population_count on
-  RangeVector + N-mask checks                    [B, 12, K] uint32 lanes
-  ComputeScore LUT walk                          LUT gather on survivors
+  bucket table + std::equal_range                one searchsorted + stored-
+                                                 signature equality gathers
+  for each candidate: diffcountpair(seed)        XOR + pair-fold popcount on
+                                                 [B, 12, K] uint32 lanes
+  RestMatch popcount loop                        full-window popcount on the
+                                                 compacted survivors only
+  RangeVector + N-mask checks                    searchsorted + rank gathers
+  ComputeScore LUT walk                          rank-1 factored LUT: per-
+                                                 batch (hi,lo) delta arrays,
+                                                 per-lane VPU selects only
   UpdateUniqueInfo state machine                 lax.scan automaton fold
+
+The pipeline is two-phase to keep the gather volume proportional to REAL
+candidates, not to the K candidate lanes:
+
+  phase 1 (cheap, [B, 12, K]):   equal-range membership (stored signature ==
+      probe signature), seed distance from the stored complementary pair
+      (match.hpp:386), position recovery — only index-array gathers.
+  compaction:                    stable-sort the valid lanes to <= S
+      survivors per read in reference merge order.
+  phase 2 (text gathers, [B, S]): fragment containment, N-freedom, the
+      full-window popcount Hamming distance (== seedk + restk of
+      RestMatch.hpp:39-81, since the probe pair matches exactly), and the
+      odds-ratio score — all on the compacted lanes.
 
 Candidate order is preserved exactly: probes run list 0..5 straight then
 list 0..5 reverse-complement (matchUniqueImplementation.cpp:416-488), and
@@ -26,7 +44,9 @@ which is what makes cross-shard all-reduce merging legal in that mode.
 Data-dependent candidate counts are capped at K per probe and S survivors
 per read-step; overflow is counted and reported so the driver can rerun
 affected reads (reference semantics have no cap; genomic repeats can
-exceed any K).
+exceed any K). Survivor overflow is now detected on *seed-passing*
+candidates (pre-verification), which is strictly more conservative than
+counting fully verified hits.
 """
 
 from __future__ import annotations
@@ -41,7 +61,7 @@ from jax import lax
 
 from real_tpu.index.signatures import NUM_LISTS, SigConfig, read_segments, \
     read_segments_rc
-from real_tpu.text.packed import extract_bases16, pair_mismatch_count
+from real_tpu.text.packed import is_dontcare_free, pair_mismatch_count
 
 POS_SENTINEL = 0x7FFFFFFF
 
@@ -82,6 +102,44 @@ class Survivors(NamedTuple):
     overflow: jnp.ndarray  # bool [B] — capped candidates/survivors dropped
 
 
+class ScorePrep(NamedTuple):
+    """Per-batch scoring precompute (engine/driver.py:score_prep).
+
+    The reference LUT factorizes (Scoring.cpp:170):
+        LL[ref, read, q] = log2(oddsRatio[ref][read]) * (1 - Q_PRB[q])
+    so a hit's score splits into a per-read part plus mismatch-only deltas:
+        score = 1 + sum_i LL[read_i, read_i, q_i]          (base, per read)
+                  + sum_i (LL[ref_i, read_i, q_i]
+                           - LL[read_i, read_i, q_i])      (delta, per hit)
+    and the delta factor D[r] = (A[r, read_i] - A[read_i, read_i]) * B[q_i]
+    depends only on (read base, quality, hypothesized ref base r) — all
+    known per batch. The hot per-candidate loop then only *selects* among
+    the four precomputed delta lanes by the actual ref base: zero gathers.
+
+    All values are (hi, lo) float32 splits of the float64 quantities; the
+    products are formed with Dekker-split multiplies in score_prep, keeping
+    ~2^-45 relative accuracy vs the reference's f64 accumulation.
+    """
+    d4s_hi: jnp.ndarray   # f32 [B, patl, 4] delta if ref base == r, straight
+    d4s_lo: jnp.ndarray
+    d4r_hi: jnp.ndarray   # f32 [B, patl, 4] same for the RC orientation
+    d4r_lo: jnp.ndarray
+    base_s_hi: jnp.ndarray  # f32 [B] sum of diagonal (match) terms
+    base_s_lo: jnp.ndarray
+    base_r_hi: jnp.ndarray
+    base_r_lo: jnp.ndarray
+    ll_hi: jnp.ndarray    # f32 [1024] LUT split — exact f64 path (CPU tests)
+    ll_lo: jnp.ndarray
+
+
+def null_score_prep(batch: int, patl: int) -> ScorePrep:
+    """Placeholder prep for scores=False steps (never read)."""
+    z2 = jnp.zeros((batch, patl, 4), jnp.float32)
+    z1 = jnp.zeros(batch, jnp.float32)
+    zt = jnp.zeros(1024, jnp.float32)
+    return ScorePrep(z2, z2, z2, z2, z1, z1, z1, z1, zt, zt)
+
+
 # ---------------------------------------------------------------------------
 # probe construction
 # ---------------------------------------------------------------------------
@@ -104,45 +162,59 @@ def compute_probes(codes: jnp.ndarray, seedl: int):
     return sig, comp
 
 
-def pack_rest_words(codes: jnp.ndarray, seedl: int):
-    """Rest (beyond-seed) 2-bit packed words, straight and reverse.
+def pack_read_words(codes: jnp.ndarray):
+    """Full-read 2-bit packed words, straight and reverse-complement.
 
-    straight: read[seedl:patl]; reverse: RC(read)[0:restlen] — matching
-    RestMatch::fillRestWordArrayMapped / ...ReverseMapped
-    (RestMatch.hpp:215-318). Packed 16 bases per uint32, MSB-first,
-    zero-padded tail. Returns ([B, RW], [B, RW]) with RW = ceil(restlen/16).
-    """
+    16 bases per uint32, MSB-first, zero-padded tail — the same packing as
+    the genome words, so candidate verification is a pure XOR+popcount
+    (the word-at-a-time idea of RestMatch.hpp:39-81, widened to the whole
+    read: the seed part of the window matches the probe pair exactly, so
+    full-window Hamming == seedk + restk). Returns ([B, KW], [B, KW])."""
     patl = codes.shape[1]
-    restlen = patl - seedl
-    rw = (restlen + 15) // 16
-    if rw == 0:
-        z = jnp.zeros((codes.shape[0], 0), jnp.uint32)
-        return z, z
+    kw = (patl + 15) // 16
     rc = (jnp.uint32(3) - codes[:, ::-1].astype(jnp.uint32)) & 3
-    return (_pack_rows(codes[:, seedl:].astype(jnp.uint32), rw),
-            _pack_rows(rc[:, :restlen], rw))
+    return (_pack_rows(codes.astype(jnp.uint32), kw),
+            _pack_rows(rc, kw))
 
 
-def _pack_rows(c: jnp.ndarray, rw: int) -> jnp.ndarray:
+def _pack_rows(c: jnp.ndarray, nw: int) -> jnp.ndarray:
     b, l = c.shape
-    pad = rw * 16 - l
+    pad = nw * 16 - l
     if pad:
         c = jnp.pad(c, ((0, 0), (0, pad)))
     shifts = jnp.asarray(2 * (15 - np.arange(16)), dtype=jnp.uint32)
-    return ((c & 3).reshape(b, rw, 16) << shifts).sum(
+    return ((c & 3).reshape(b, nw, 16) << shifts).sum(
         axis=2, dtype=jnp.uint32)
+
+
+def _tail_masks(patl: int, nw: int) -> np.ndarray:
+    masks = np.full(nw, 0xFFFFFFFF, dtype=np.uint32)
+    tail = patl - 16 * (nw - 1) if nw else 0
+    if nw and tail < 16:
+        masks[nw - 1] = np.uint32(0xFFFFFFFF) << np.uint32(32 - 2 * tail)
+    return masks
 
 
 # ---------------------------------------------------------------------------
 # candidate generation + verification
 # ---------------------------------------------------------------------------
 
-def _rest_tail_masks(restlen: int, rw: int) -> np.ndarray:
-    masks = np.full(rw, 0xFFFFFFFF, dtype=np.uint32)
-    tail = restlen - 16 * (rw - 1) if rw else 0
-    if rw and tail < 16:
-        masks[rw - 1] = np.uint32(0xFFFFFFFF) << np.uint32(32 - 2 * tail)
-    return masks
+def _extract_windows(words: jnp.ndarray, pos: jnp.ndarray, nw: int):
+    """Gather nw consecutive 16-base words at arbitrary base offsets.
+
+    Equivalent of AutoTextArray::getTextWord (AutoTextArray.hpp:122-125):
+    gathers the nw+1 aligned uint32 words covering the window once, then
+    funnel-shifts — (nw+1) gathers for nw words instead of 2*nw."""
+    bitpos = pos.astype(jnp.int32) << 1
+    idx = bitpos >> 5
+    sh = (bitpos & 31).astype(jnp.uint32)
+    w = [jnp.take(words, idx + i, mode="clip") for i in range(nw + 1)]
+    out = []
+    for i in range(nw):
+        hi = w[i] << sh
+        lo = (w[i + 1] >> (jnp.uint32(31) - sh)) >> 1
+        out.append(hi | lo)
+    return out                                   # list of nw [.. same shape]
 
 
 def find_survivors(
@@ -156,137 +228,151 @@ def find_survivors(
     B, patl = codes.shape
     K, S = cand_cap, survivor_cap
     restlen = patl - seedl
-    rw = (restlen + 15) // 16
+    kw = (patl + 15) // 16
+    M = index_sig.shape[1]
 
     probe_sig, probe_comp = compute_probes(codes, seedl)
-    rest_s, rest_r = pack_rest_words(codes, seedl)
+    words_s, words_r = pack_read_words(codes)
 
-    # searchsorted per list: probes regrouped [6 lists, 2 strands * B]
+    # ---- phase 1: equal-range membership + seed check on [B, 12, K] -------
+    # one binary search per probe; range membership and overflow come from
+    # stored-signature equality on K+1 gathered lanes (replaces the
+    # reference's bucket table + equal_range, match.hpp:376-382)
     by_list = probe_sig.T.reshape(2, NUM_LISTS, B).transpose(1, 0, 2) \
         .reshape(NUM_LISTS, 2 * B)
     lo = jax.vmap(
         lambda s, v: jnp.searchsorted(s, v, side="left"))(index_sig, by_list)
-    hi = jax.vmap(
-        lambda s, v: jnp.searchsorted(s, v, side="right"))(index_sig, by_list)
-    cnt = (hi - lo).reshape(NUM_LISTS, 2, B)
-    lo = lo.reshape(NUM_LISTS, 2, B)
 
-    M = index_sig.shape[1]
-    idx = lo[..., None] + jnp.arange(K, dtype=lo.dtype)      # [6,2,B,K]
-    in_range = jnp.arange(K) < cnt[..., None]
-    idx = jnp.minimum(idx, M - 1)
+    idx_raw = lo[..., None] + jnp.arange(K + 1, dtype=lo.dtype)  # [6,2B,K+1]
+    in_bounds = idx_raw < M
+    idx = jnp.minimum(idx_raw, M - 1)
 
     flat_idx = idx.reshape(NUM_LISTS, -1)
-    cand_comp = jnp.take_along_axis(index_comp, flat_idx, axis=1) \
+    cand_sig = jnp.take_along_axis(index_sig, flat_idx, axis=1) \
+        .reshape(NUM_LISTS, 2 * B, K + 1)
+    flat_k = idx[..., :K].reshape(NUM_LISTS, -1)
+    cand_comp = jnp.take_along_axis(index_comp, flat_k, axis=1) \
         .reshape(NUM_LISTS, 2, B, K)
-    cand_rpos = jnp.take_along_axis(index_pos, flat_idx, axis=1) \
+    cand_rpos = jnp.take_along_axis(index_pos, flat_k, axis=1) \
         .reshape(NUM_LISTS, 2, B, K)
+
+    sig_eq = (cand_sig == by_list[..., None]) & in_bounds   # [6, 2B, K+1]
+    # equal range larger than K lanes => escalate (driver rerun)
+    overflow = sig_eq[..., K].reshape(NUM_LISTS, 2, B).any(axis=(0, 1))
+    sig_eq = sig_eq[..., :K].reshape(NUM_LISTS, 2, B, K)
 
     def to_probe_major(a):   # [6,2,B,K] -> [B, 12, K], probe = strand*6+list
         return a.transpose(2, 1, 0, 3).reshape(B, 2 * NUM_LISTS, K)
 
     cand_comp = to_probe_major(cand_comp)
     cand_rpos = to_probe_major(cand_rpos)
-    in_range = to_probe_major(in_range)
-    overflow = (cnt > K).any(axis=(0, 1))                    # [B]
+    sig_eq = to_probe_major(sig_eq)
 
     seedk = pair_mismatch_count(cand_comp ^ probe_comp[:, :, None])
 
     inv = (jnp.arange(2 * NUM_LISTS) >= NUM_LISTS)[None, :, None]  # [1,12,1]
+    # reverse-complement hits place the indexed seed at the END of the
+    # window: pos = rpos - restlen (RestMatch.hpp:84-89)
     matchoffset = jnp.where(inv, restlen, 0).astype(jnp.int32)
     pos = cand_rpos - matchoffset
 
-    valid = (in_range
-             & read_valid[:, None, None]
-             & (cand_rpos != POS_SENTINEL)
-             & (cand_rpos >= matchoffset)
-             & (seedk <= seedkmax))
-
-    # fragment containment (RangeVector::isPositionValid) + N-freedom
-    nfrag = frag_offsets.shape[0] - 1
-    frag = jnp.searchsorted(frag_offsets,
-                            jnp.maximum(pos, 0).reshape(-1),
-                            side="right").reshape(pos.shape) - 1
-    frag = jnp.clip(frag, 0, nfrag - 1).astype(jnp.int32)
-    frag_end = frag_offsets[frag + 1]
-    valid &= (pos + patl) <= frag_end
-
-    from real_tpu.text.packed import is_dontcare_free
-    valid &= is_dontcare_free(nbits, ncum, jnp.maximum(pos, 0), patl)
-
-    # rest Hamming distance (RestMatch.hpp:39-81)
-    restpos = pos + jnp.where(inv, 0, seedl)
-    restk = jnp.zeros_like(seedk)
-    if rw:
-        masks = jnp.asarray(_rest_tail_masks(restlen, rw))
-        patrest = jnp.where(inv[..., None],
-                            rest_r[:, None, None, :],
-                            rest_s[:, None, None, :])      # [B,12,1->K? , RW]
-        for w in range(rw):
-            tw = extract_bases16(words, jnp.maximum(restpos, 0) + 16 * w)
-            x = (tw ^ patrest[..., w]) & masks[w]
-            restk = restk + pair_mismatch_count(x)
-    totalk = seedk + restk
-    valid &= totalk <= totalkmax
+    cand_valid = (sig_eq
+                  & read_valid[:, None, None]
+                  & (cand_rpos != POS_SENTINEL)
+                  & (cand_rpos >= matchoffset)
+                  & (seedk <= seedkmax))
 
     # ---- compaction to S survivors in merge order --------------------------
     order = jnp.arange(2 * NUM_LISTS * K, dtype=jnp.int32).reshape(
-        1, 2 * NUM_LISTS, K)
-    fl_valid = valid.reshape(B, -1)
-    key = jnp.where(fl_valid, order.reshape(1, -1), 2 * NUM_LISTS * K)
+        1, 2 * NUM_LISTS * K)
+    fl_valid = cand_valid.reshape(B, -1)
+    key = jnp.where(fl_valid, order, 2 * NUM_LISTS * K)
     perm = jnp.argsort(key, axis=1, stable=True)[:, :S]
 
     def compact(a):
         return jnp.take_along_axis(a.reshape(B, -1), perm, axis=1)
 
-    n_surv = fl_valid.sum(axis=1)
-    overflow |= n_surv > S
+    overflow |= fl_valid.sum(axis=1) > S
 
     s_valid = compact(fl_valid)
-    s_inv = compact(jnp.broadcast_to(inv, valid.shape))
-    s_pos = compact(jnp.where(valid, pos, 0))
-    s_frag = compact(jnp.where(valid, frag, 0))
-    s_k = compact(jnp.where(valid, totalk, 0))
+    s_inv = compact(jnp.broadcast_to(inv, cand_valid.shape))
+    s_pos = compact(jnp.where(cand_valid, pos, 0))
+    s_seedk = compact(jnp.where(cand_valid, seedk, 0))
+
+    # ---- phase 2: text verification on the compacted [B, S] ---------------
+    posc = jnp.maximum(s_pos, 0)
+
+    # fragment containment (RangeVector::isPositionValid, RangeVector.hpp:63)
+    nfrag = frag_offsets.shape[0] - 1
+    s_frag = jnp.searchsorted(frag_offsets, posc.reshape(-1),
+                              side="right").reshape(posc.shape) - 1
+    s_frag = jnp.clip(s_frag, 0, nfrag - 1).astype(jnp.int32)
+    s_valid &= (s_pos + patl) <= frag_offsets[s_frag + 1]
+
+    # N-freedom over the whole window (AutoTextArray::isDontCareFree)
+    s_valid &= is_dontcare_free(nbits, ncum, posc, patl)
+
+    # full-window Hamming distance: XOR + 2-bit pair popcount, 16 bases per
+    # word (the RestMatch.hpp:39-81 loop, extended over the seed too)
+    tw = _extract_windows(words, posc, kw)       # list of kw [B, S] uint32
+    masks = _tail_masks(patl, kw)
+    patw = jnp.where(s_inv[..., None], words_r[:, None, :],
+                     words_s[:, None, :])        # [B, S, KW]
+    totalk = jnp.zeros_like(s_seedk)
+    for w in range(kw):
+        totalk = totalk + pair_mismatch_count(
+            (tw[w] ^ patw[..., w]) & jnp.uint32(masks[w]))
+    s_valid &= totalk <= totalkmax
 
     return Survivors(valid=s_valid, inv=s_inv, pos=s_pos, frag=s_frag,
-                     k=s_k, score=jnp.zeros_like(s_pos, jnp.float32),
-                     overflow=overflow)
+                     k=totalk, score=jnp.zeros_like(s_pos, jnp.float32),
+                     overflow=overflow), tw
 
 
 # ---------------------------------------------------------------------------
 # scoring of survivors
 # ---------------------------------------------------------------------------
 
-def score_survivors(surv: Survivors, words, codes, quals,
-                    ll_hi, ll_lo, *, score_mode: str) -> Survivors:
+def _two_sum(a_hi, a_lo, b_hi, b_lo):
+    """(a_hi+a_lo) + (b_hi+b_lo) as a renormalized (hi, lo) f32 pair."""
+    t = a_hi + b_hi
+    bp = t - a_hi
+    err = (a_hi - (t - bp)) + (b_hi - bp)
+    lo = a_lo + (err + b_lo)
+    hi2 = t + lo
+    lo2 = lo - (hi2 - t)
+    return hi2, lo2
+
+
+def score_survivors(surv: Survivors, tw, codes, quals, prep: ScorePrep,
+                    *, score_mode: str) -> Survivors:
     """score = f32(1.0 + sum_i LL[ref_i, read_i, q_i]) accumulated in base
     order (ComputeScore.hpp:47-191). `score_mode`: 'f64' (CPU tests — exact
-    reference math) or 'ff' (TPU — two-float compensated accumulation, equal
-    after f32 narrowing except within ~2^-48 of rounding boundaries)."""
+    reference math, walks the LUT like the reference) or 'ff' (TPU — rank-1
+    factored base+delta decomposition, see ScorePrep; equal after f32
+    narrowing except within ~2^-40 of a rounding boundary)."""
     B, S = surv.pos.shape
     patl = codes.shape[1]
-    kw = (patl + 15) // 16
+    kw = len(tw)
 
-    posc = jnp.maximum(surv.pos, 0)
-    # text codes: kw word-gathers then in-register unpack
-    tw = jnp.stack([extract_bases16(words, posc + 16 * w)
-                    for w in range(kw)], axis=-1)            # [B,S,kw] u32
+    # unpack candidate window text codes from the already-gathered words
     shifts = jnp.asarray(2 * (15 - np.arange(16)), dtype=jnp.uint32)
-    ref = ((tw[..., None] >> shifts) & 3).reshape(B, S, kw * 16)[..., :patl]
-
-    rc = (jnp.uint32(3) - codes[:, ::-1].astype(jnp.uint32)) & 3
-    pat = jnp.where(surv.inv[..., None], rc[:, None, :],
-                    codes[:, None, :].astype(jnp.uint32))
-    q = jnp.where(surv.inv[..., None], quals[:, ::-1][:, None, :],
-                  quals[:, None, :]).astype(jnp.int32)
-    # reference indexes LL with the raw quality (UB if out of 0..63,
-    # Scoring.hpp getRawLogScoreTable); we clamp
-    q = jnp.clip(q, 0, 63).astype(jnp.uint32)
-
-    lut_idx = ((ref << 8) | (pat << 6) | q).astype(jnp.int32)  # [B,S,patl]
+    tws = jnp.stack(tw, axis=-1)                              # [B,S,kw] u32
+    ref = ((tws[..., None] >> shifts) & 3).astype(jnp.uint8) \
+        .reshape(B, S, kw * 16)[..., :patl]                   # [B,S,patl]
 
     if score_mode == "f64":
-        ll = ll_hi.astype(jnp.float64) + ll_lo.astype(jnp.float64)
+        # exact reference math: sequential f64 LUT accumulation
+        # (ComputeScore.hpp:59-189); CPU-only (requires jax_enable_x64)
+        rc = (jnp.uint32(3) - codes[:, ::-1].astype(jnp.uint32)) & 3
+        pat = jnp.where(surv.inv[..., None], rc[:, None, :],
+                        codes[:, None, :].astype(jnp.uint32))
+        q = jnp.where(surv.inv[..., None], quals[:, ::-1][:, None, :],
+                      quals[:, None, :]).astype(jnp.int32)
+        q = jnp.clip(q, 0, 63).astype(jnp.uint32)
+        lut_idx = ((ref.astype(jnp.uint32) << 8) | (pat << 6) | q) \
+            .astype(jnp.int32)
+        ll = prep.ll_hi.astype(jnp.float64) + prep.ll_lo.astype(jnp.float64)
         contrib = jnp.take(ll, lut_idx)
 
         def body(i, acc):
@@ -294,31 +380,38 @@ def score_survivors(surv: Survivors, words, codes, quals,
                 contrib, i, axis=2, keepdims=False)
         total = lax.fori_loop(0, patl, body,
                               jnp.full((B, S), 1.0, jnp.float64))
-        score = total.astype(jnp.float32)
-    else:
-        chi = jnp.take(ll_hi, lut_idx)
-        clo = jnp.take(ll_lo, lut_idx)
+        return surv._replace(score=total.astype(jnp.float32))
 
-        def body(i, acc):
-            s_hi, s_lo = acc
-            a_hi = lax.dynamic_index_in_dim(chi, i, axis=2, keepdims=False)
-            a_lo = lax.dynamic_index_in_dim(clo, i, axis=2, keepdims=False)
-            # TwoSum(s_hi, a_hi)
-            t = s_hi + a_hi
-            bp = t - s_hi
-            err = (s_hi - (t - bp)) + (a_hi - bp)
-            s_lo = s_lo + (err + a_lo)
-            # renormalise
-            hi2 = t + s_lo
-            lo2 = s_lo - (hi2 - t)
-            return (hi2, lo2)
-        hi2, lo2 = lax.fori_loop(
-            0, patl, body,
-            (jnp.full((B, S), 1.0, jnp.float32),
-             jnp.zeros((B, S), jnp.float32)))
-        score = hi2 + lo2
+    # ---- 'ff' mode: base + mismatch-delta with (hi, lo) accumulation ------
+    base_hi = jnp.where(surv.inv, prep.base_r_hi[:, None],
+                        prep.base_s_hi[:, None])
+    base_lo = jnp.where(surv.inv, prep.base_r_lo[:, None],
+                        prep.base_s_lo[:, None])
+    s_hi, s_lo = _two_sum(jnp.float32(1.0), jnp.float32(0.0),
+                          base_hi, base_lo)
+    inv = surv.inv
 
-    return surv._replace(score=score)
+    def body(i, acc):
+        a_hi, a_lo = acc
+        r = lax.dynamic_index_in_dim(ref, i, axis=2, keepdims=False)
+        d_s_hi = lax.dynamic_index_in_dim(prep.d4s_hi, i, 1, keepdims=False)
+        d_s_lo = lax.dynamic_index_in_dim(prep.d4s_lo, i, 1, keepdims=False)
+        d_r_hi = lax.dynamic_index_in_dim(prep.d4r_hi, i, 1, keepdims=False)
+        d_r_lo = lax.dynamic_index_in_dim(prep.d4r_lo, i, 1, keepdims=False)
+        dh = jnp.where(inv[..., None], d_r_hi[:, None, :],
+                       d_s_hi[:, None, :])                           # [B,S,4]
+        dl = jnp.where(inv[..., None], d_r_lo[:, None, :],
+                       d_s_lo[:, None, :])
+
+        def sel(d):   # select delta lane by ref base: [B,S,4] -> [B,S]
+            lohalf = jnp.where((r & 1).astype(bool), d[..., 1], d[..., 0])
+            hihalf = jnp.where((r & 1).astype(bool), d[..., 3], d[..., 2])
+            return jnp.where((r & 2).astype(bool), hihalf, lohalf)
+
+        return _two_sum(a_hi, a_lo, sel(dh), sel(dl))
+
+    s_hi, s_lo = lax.fori_loop(0, patl, body, (s_hi, s_lo))
+    return surv._replace(score=s_hi + s_lo)
 
 
 # ---------------------------------------------------------------------------
@@ -381,7 +474,7 @@ def match_step(index_sig, index_comp, index_pos,
                words, nbits, ncum, frag_offsets,
                codes, quals, read_valid,
                state: MatchState, fileid, epsilon,
-               ll_hi, ll_lo,
+               prep: ScorePrep,
                *, seedl: int, seedkmax: int, totalkmax: int,
                cand_cap: int, survivor_cap: int,
                scores: bool, score_mode: str, matchall: bool):
@@ -389,13 +482,13 @@ def match_step(index_sig, index_comp, index_pos,
 
     matchall=True skips the automaton (hits go to the host for dedup +
     printing, matchAllImplementation.cpp:99-185)."""
-    surv = find_survivors(
+    surv, tw = find_survivors(
         index_sig, index_comp, index_pos, words, nbits, ncum, frag_offsets,
         codes, quals, read_valid,
         seedl=seedl, seedkmax=seedkmax, totalkmax=totalkmax,
         cand_cap=cand_cap, survivor_cap=survivor_cap)
     if scores:
-        surv = score_survivors(surv, words, codes, quals, ll_hi, ll_lo,
+        surv = score_survivors(surv, tw, codes, quals, prep,
                                score_mode=score_mode)
     if matchall:
         return state, surv

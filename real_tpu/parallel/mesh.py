@@ -32,8 +32,9 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from real_tpu.engine.matchstep import (MatchState, Survivors, find_survivors,
-                                       fold_unique, score_survivors)
+from real_tpu.engine.matchstep import (MatchState, ScorePrep, Survivors,
+                                       find_survivors, fold_unique,
+                                       score_survivors)
 from real_tpu.index.signatures import NUM_LISTS
 from real_tpu.text.packed import PackedText
 
@@ -43,6 +44,16 @@ def make_mesh(n_dp: int, n_shard: int, devices=None) -> Mesh:
     assert len(devices) >= n_dp * n_shard
     dev = np.asarray(devices[: n_dp * n_shard]).reshape(n_dp, n_shard)
     return Mesh(dev, ("dp", "shard"))
+
+
+def _prep_specs(prep: ScorePrep):
+    """PartitionSpecs for ScorePrep: batch-major arrays follow 'dp', the
+    LUT tables are replicated."""
+    return ScorePrep(
+        d4s_hi=P("dp"), d4s_lo=P("dp"), d4r_hi=P("dp"), d4r_lo=P("dp"),
+        base_s_hi=P("dp"), base_s_lo=P("dp"),
+        base_r_hi=P("dp"), base_r_lo=P("dp"),
+        ll_hi=P(), ll_lo=P())
 
 
 @functools.partial(jax.jit,
@@ -76,7 +87,7 @@ def sharded_match_step(index_sig, index_comp, index_pos,     # [n_shard,6,M]
                        words, nbits, ncum, frag_offsets,     # replicated
                        codes, quals, read_valid,             # [B,...] dp
                        state: MatchState, fileid, epsilon,
-                       ll_hi, ll_lo,
+                       prep: ScorePrep,
                        *, seedl: int, seedkmax: int, totalkmax: int,
                        cand_cap: int, survivor_cap: int,
                        scores: bool, score_mode: str, mesh: Mesh):
@@ -86,15 +97,15 @@ def sharded_match_step(index_sig, index_comp, index_pos,     # [n_shard,6,M]
 
     def local_step(sig, comp, pos, words, nbits, ncum, frag_offsets,
                    codes, quals, read_valid, state, fileid, epsilon,
-                   ll_hi, ll_lo):
+                   prep):
         sig, comp, pos = sig[0], comp[0], pos[0]    # drop shard dim
-        surv = find_survivors(
+        surv, tw = find_survivors(
             sig, comp, pos, words, nbits, ncum, frag_offsets,
             codes, quals, read_valid,
             seedl=seedl, seedkmax=seedkmax, totalkmax=totalkmax,
             cand_cap=cand_cap, survivor_cap=survivor_cap)
         if scores:
-            surv = score_survivors(surv, words, codes, quals, ll_hi, ll_lo,
+            surv = score_survivors(surv, tw, codes, quals, prep,
                                    score_mode=score_mode)
         # gather survivors over the shard axis: [n_shard, B_loc, S]
         gathered = jax.tree.map(
@@ -123,9 +134,10 @@ def sharded_match_step(index_sig, index_comp, index_pos,     # [n_shard,6,M]
                   P(), P(), P(), P(),
                   P("dp"), P("dp"), P("dp"),
                   jax.tree.map(lambda _: P("dp"), state),
-                  P(), P(), P(), P()),
+                  P(), P(),
+                  _prep_specs(prep)),
         out_specs=(jax.tree.map(lambda _: P("dp"), state), P("dp")),
         check_vma=False)
     return fn(index_sig, index_comp, index_pos, words, nbits, ncum,
               frag_offsets, codes, quals, read_valid, state,
-              jnp.int32(fileid), jnp.float32(epsilon), ll_hi, ll_lo)
+              jnp.int32(fileid), jnp.float32(epsilon), prep)

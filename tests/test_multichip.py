@@ -11,7 +11,7 @@ from real_tpu.index.build import build_index
 from real_tpu.io import fasta
 from real_tpu.parallel.mesh import (build_sharded_index, make_mesh,
                                     sharded_match_step)
-from real_tpu.scoring.scoring import Scoring
+from real_tpu.scoring.scoring import Scoring, make_score_prep
 from real_tpu.text.packed import build_packed_text
 from real_tpu.tools import simulate
 
@@ -33,27 +33,27 @@ def setup():
     quals = np.full_like(batch, 30, np.int8)
     valid = np.ones(256, bool)
     sc = Scoring()
-    hi, lo = sc.ll_f32_pair()
+    prep = make_score_prep(sc)(jnp.asarray(batch), jnp.asarray(quals))
     return text, jnp.asarray(batch), jnp.asarray(quals), \
-        jnp.asarray(valid), jnp.asarray(hi), jnp.asarray(lo)
+        jnp.asarray(valid), prep
 
 
 KW = dict(seedl=32, seedkmax=2, totalkmax=5, cand_cap=32, survivor_cap=32,
           score_mode="f64")
 
 
-def _single(text, codes, quals, valid, hi, lo, scores):
+def _single(text, codes, quals, valid, prep, scores):
     index = build_index(text, 32)
     st, _ = match_step(
         index.sig, index.comp, index.pos,
         text.words, text.nbits, text.ncum, text.frag_offsets,
         codes, quals, valid, initial_state(codes.shape[0]),
-        jnp.int32(0), np.float32(80 * 5 / 70.0), hi, lo,
+        jnp.int32(0), np.float32(80 * 5 / 70.0), prep,
         scores=scores, matchall=False, **KW)
     return jax.tree.map(np.asarray, st)
 
 
-def _sharded(text, codes, quals, valid, hi, lo, scores, n_dp, n_shard):
+def _sharded(text, codes, quals, valid, prep, scores, n_dp, n_shard):
     mesh = make_mesh(n_dp, n_shard)
     num_windows = text.n - 32 + 1
     sig, comp, pos = build_sharded_index(
@@ -63,7 +63,7 @@ def _sharded(text, codes, quals, valid, hi, lo, scores, n_dp, n_shard):
         sig, comp, pos,
         text.words, text.nbits, text.ncum, text.frag_offsets,
         codes, quals, valid, initial_state(codes.shape[0]),
-        0, np.float32(80 * 5 / 70.0), hi, lo,
+        0, np.float32(80 * 5 / 70.0), prep,
         scores=scores, mesh=mesh, **KW)
     return jax.tree.map(np.asarray, st)
 
@@ -71,12 +71,39 @@ def _sharded(text, codes, quals, valid, hi, lo, scores, n_dp, n_shard):
 @pytest.mark.parametrize("scores", [False, True])
 @pytest.mark.parametrize("n_dp,n_shard", [(1, 4), (4, 2), (8, 1), (2, 4)])
 def test_sharded_equals_single(setup, scores, n_dp, n_shard):
-    text, codes, quals, valid, hi, lo = setup
-    ref = _single(text, codes, quals, valid, hi, lo, scores)
-    got = _sharded(text, codes, quals, valid, hi, lo, scores, n_dp, n_shard)
+    text, codes, quals, valid, prep = setup
+    ref = _single(text, codes, quals, valid, prep, scores)
+    got = _sharded(text, codes, quals, valid, prep, scores, n_dp, n_shard)
     assert (got.st == ref.st).all()
     matched = (ref.st == 1) | (ref.st == 2)
     for f in ("pos", "frag", "errs"):
         assert (getattr(got, f)[matched] == getattr(ref, f)[matched]).all()
     if scores:
         assert (got.score[matched] == ref.score[matched]).all()
+
+
+def test_ff_score_mode_matches_f64(setup):
+    """The TPU two-float scoring path must produce the same f32 scores as
+    the exact f64 path (same automaton outcomes) on CPU."""
+    text, codes, quals, valid, prep = setup
+    index = build_index(text, 32)
+    kw = dict(KW)
+    outs = {}
+    for mode in ("f64", "ff"):
+        kw["score_mode"] = mode
+        st, _ = match_step(
+            index.sig, index.comp, index.pos,
+            text.words, text.nbits, text.ncum, text.frag_offsets,
+            codes, quals, valid, initial_state(codes.shape[0]),
+            jnp.int32(0), np.float32(80 * 5 / 70.0), prep,
+            scores=True, matchall=False, **kw)
+        outs[mode] = jax.tree.map(np.asarray, st)
+    a, b = outs["f64"], outs["ff"]
+    assert (a.st == b.st).all()
+    matched = (a.st == 1) | (a.st == 2)
+    assert (a.pos[matched] == b.pos[matched]).all()
+    assert np.allclose(a.score[matched], b.score[matched],
+                       rtol=1e-6, atol=1e-6)
+    # scores should in fact be bit-identical except at f32 rounding
+    # boundaries, which should not occur on 256 reads
+    assert (a.score[matched] == b.score[matched]).mean() > 0.99
