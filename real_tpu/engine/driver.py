@@ -85,7 +85,8 @@ def _build(cfg: RealConfig, text: PackedText, start: int, num_windows: int):
 
 
 def _shard_bounds(num_windows: int, num_shards: int) -> List[Tuple[int, int]]:
-    per = -(-num_windows // num_shards)
+    from real_tpu.index.hostbuild import _round16
+    per = _round16(-(-num_windows // num_shards))
     return [(s, min(s + per, num_windows))
             for s in range(0, num_windows, per)]
 
@@ -149,7 +150,7 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
             for bi, b in enumerate(batches):
                 eps = np.float32(cfg.filter_value(b.patl))
                 states[bi], surv = match_step(
-                    index.sig, index.comp, index.pos,
+                    index.sig, index.comp, index.pos, index.bb,
                     text.words, text.nbits, text.ncum, text.frag_offsets,
                     b.codes, b.quals, b.valid,
                     states[bi], jnp.int32(fi), eps, preps[bi],
@@ -313,7 +314,7 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
             for bi, b in enumerate(batches):
                 eps = np.float32(cfg.filter_value(b.patl))
                 _, surv = match_step(
-                    index.sig, index.comp, index.pos,
+                    index.sig, index.comp, index.pos, index.bb,
                     text.words, text.nbits, text.ncum, text.frag_offsets,
                     b.codes, b.quals, b.valid,
                     dummy_states[bi], jnp.int32(fi), eps, preps[bi],

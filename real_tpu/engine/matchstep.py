@@ -218,7 +218,7 @@ def _extract_windows(words: jnp.ndarray, pos: jnp.ndarray, nw: int):
 
 
 def find_survivors(
-        index_sig, index_comp, index_pos,          # [6, M]
+        index_sig, index_comp, index_pos, index_bb,   # [6, M] + bucket table
         words, nbits, ncum, frag_offsets,          # text arrays
         codes, quals, read_valid,                  # [B, L], [B, L], [B]
         *, seedl: int, seedkmax: int, totalkmax: int,
@@ -234,32 +234,34 @@ def find_survivors(
     probe_sig, probe_comp = compute_probes(codes, seedl)
     words_s, words_r = pack_read_words(codes)
 
-    # ---- phase 1: equal-range membership + seed check on [B, 12, K] -------
-    # one binary search per probe; range membership and overflow come from
-    # stored-signature equality on K+1 gathered lanes (replaces the
-    # reference's bucket table + equal_range, match.hpp:376-382)
+    # ---- phase 1: bucket lookup + seed check on [B, 12, K] -----------------
+    # one bucket-table gather per probe (the reference's lookup table,
+    # match.hpp:376-378); equal-range membership comes from stored-signature
+    # equality on the K gathered lanes. An equal range never crosses a
+    # bucket, so `bucket count > K` exactly flags any range the K lanes
+    # could not cover (driver escalates those reads).
+    shift = SigConfig(seedl).bucket_shift
     by_list = probe_sig.T.reshape(2, NUM_LISTS, B).transpose(1, 0, 2) \
         .reshape(NUM_LISTS, 2 * B)
-    lo = jax.vmap(
-        lambda s, v: jnp.searchsorted(s, v, side="left"))(index_sig, by_list)
+    h = (by_list >> jnp.uint32(shift)).astype(jnp.int32)
+    lo = jnp.take_along_axis(index_bb, h, axis=1)
+    hi = jnp.take_along_axis(index_bb, h + 1, axis=1)
+    overflow = ((hi - lo) > K).reshape(NUM_LISTS, 2, B).any(axis=(0, 1))
 
-    idx_raw = lo[..., None] + jnp.arange(K + 1, dtype=lo.dtype)  # [6,2B,K+1]
-    in_bounds = idx_raw < M
+    idx_raw = lo[..., None] + jnp.arange(K, dtype=lo.dtype)   # [6, 2B, K]
+    in_bounds = idx_raw < jnp.minimum(hi, M)[..., None]
     idx = jnp.minimum(idx_raw, M - 1)
 
-    flat_idx = idx.reshape(NUM_LISTS, -1)
-    cand_sig = jnp.take_along_axis(index_sig, flat_idx, axis=1) \
-        .reshape(NUM_LISTS, 2 * B, K + 1)
-    flat_k = idx[..., :K].reshape(NUM_LISTS, -1)
+    flat_k = idx.reshape(NUM_LISTS, -1)
+    cand_sig = jnp.take_along_axis(index_sig, flat_k, axis=1) \
+        .reshape(NUM_LISTS, 2 * B, K)
     cand_comp = jnp.take_along_axis(index_comp, flat_k, axis=1) \
         .reshape(NUM_LISTS, 2, B, K)
     cand_rpos = jnp.take_along_axis(index_pos, flat_k, axis=1) \
         .reshape(NUM_LISTS, 2, B, K)
 
-    sig_eq = (cand_sig == by_list[..., None]) & in_bounds   # [6, 2B, K+1]
-    # equal range larger than K lanes => escalate (driver rerun)
-    overflow = sig_eq[..., K].reshape(NUM_LISTS, 2, B).any(axis=(0, 1))
-    sig_eq = sig_eq[..., :K].reshape(NUM_LISTS, 2, B, K)
+    sig_eq = ((cand_sig == by_list[..., None]) & in_bounds) \
+        .reshape(NUM_LISTS, 2, B, K)
 
     def to_probe_major(a):   # [6,2,B,K] -> [B, 12, K], probe = strand*6+list
         return a.transpose(2, 1, 0, 3).reshape(B, 2 * NUM_LISTS, K)
@@ -470,7 +472,7 @@ def fold_unique(state: MatchState, surv: Survivors, fileid,
     jax.jit,
     static_argnames=("seedl", "seedkmax", "totalkmax", "cand_cap",
                      "survivor_cap", "scores", "score_mode", "matchall"))
-def match_step(index_sig, index_comp, index_pos,
+def match_step(index_sig, index_comp, index_pos, index_bb,
                words, nbits, ncum, frag_offsets,
                codes, quals, read_valid,
                state: MatchState, fileid, epsilon,
@@ -483,7 +485,8 @@ def match_step(index_sig, index_comp, index_pos,
     matchall=True skips the automaton (hits go to the host for dedup +
     printing, matchAllImplementation.cpp:99-185)."""
     surv, tw = find_survivors(
-        index_sig, index_comp, index_pos, words, nbits, ncum, frag_offsets,
+        index_sig, index_comp, index_pos, index_bb,
+        words, nbits, ncum, frag_offsets,
         codes, quals, read_valid,
         seedl=seedl, seedkmax=seedkmax, totalkmax=totalkmax,
         cand_cap=cand_cap, survivor_cap=survivor_cap)

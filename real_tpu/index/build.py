@@ -3,16 +3,29 @@
 TPU-first replacement for the reference's incremental text scan + OpenMP
 radix sort (MapTextFile.hpp:181-230, ListSet.hpp:41-63,
 ParallelRadixSort.hpp): one vectorized pass computes all windows' four
-segments with gathers + funnel shifts, composes the six pair signatures,
-and `lax.sort` produces the six sorted lists. Each list row carries
-(signature, complementary-pair signature, position) — the explicit
-complement replaces the reference's ptr cross-links (u_sort.hpp:29-40,
-Mask.hpp:36-40): a probe hit verifies its seed errors directly against the
-stored complementary signature.
+segments, composes the six pair signatures, and `lax.sort` produces the six
+sorted lists. Each list row carries (signature, complementary-pair
+signature, position) — the explicit complement replaces the reference's ptr
+cross-links (u_sort.hpp:29-40, Mask.hpp:36-40): a probe hit verifies its
+seed errors directly against the stored complementary signature.
+
+Because window positions are consecutive, segment extraction needs NO
+gathers: the 16-base word at every position is computed with a 16-phase
+funnel-shift over the packed words (each phase is a strided slice), and the
+N-free test is a cumulative-sum prefix over the unpacked wildcard bitmap —
+all dense vector passes. Random-access gathers appear only at query time.
+
+A per-list bucket table over the top `bucket_bits` signature bits
+(getLookupTable.hpp:26-51, getSampleBits.hpp: 22 sample bits) turns the
+probe's equal-range search into one gather: bucket_begin[h] is the first
+list slot of bucket h, and an equal range never crosses a bucket (equal
+signatures share all bits), so candidates are read from bucket_begin[h]
+and filtered by stored-signature equality; `count > K` flags escalation.
 
 Invalid windows (containing N / block padding) get signature 0xFFFFFFFF and
-position sentinel 0x7FFFFFFF so they sort to the tail of each equal-range
-and are rejected by the position mask in the matcher.
+position sentinel 0x7FFFFFFF so they sort to the tail of each list, are
+excluded from bucket counts, and are rejected by the position mask in the
+matcher.
 """
 
 from __future__ import annotations
@@ -26,7 +39,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from real_tpu.index.signatures import NUM_LISTS, SigConfig
-from real_tpu.text.packed import PackedText, extract_bases16, is_dontcare_free
+from real_tpu.text.packed import PackedText
 
 POS_SENTINEL = jnp.int32(0x7FFFFFFF)
 SIG_SENTINEL = jnp.uint32(0xFFFFFFFF)
@@ -38,29 +51,71 @@ class SignatureIndex:
     sig: jnp.ndarray    # uint32 [6, M] sorted (primary key)
     comp: jnp.ndarray   # uint32 [6, M] complementary pair signature
     pos: jnp.ndarray    # int32  [6, M] window position (sentinel if invalid)
+    bb: jnp.ndarray     # int32  [6, 2^bucket_bits + 1] bucket begin table
     seedl: int
+
+
+def _ext16_all(words: jnp.ndarray, word_lo, n_ext: int) -> jnp.ndarray:
+    """16-base words at EVERY base position [16*word_lo, 16*word_lo+n_ext)
+    without gathers: 16 funnel-shift phases over static slices."""
+    nw = -(-n_ext // 16) + 1
+    # pad so the slice never clamps (dynamic_slice shifts the window on
+    # out-of-bounds starts, which would corrupt the tail shard)
+    words = jnp.concatenate([words, jnp.zeros(nw, words.dtype)])
+    w = lax.dynamic_slice(words, (word_lo,), (nw,))
+    w0 = w[:-1]
+    w1 = w[1:]
+    phases = []
+    for p in range(16):
+        sh = jnp.uint32(2 * p)
+        hi = w0 << sh
+        lo = (w1 >> (jnp.uint32(31) - sh)) >> 1
+        phases.append(hi | lo)
+    # phases[p][k] = word at base position 16k + p  ->  interleave
+    return jnp.stack(phases, axis=1).reshape(-1)[:n_ext]
+
+
+def _n_prefix(nbits: jnp.ndarray, word_lo, n_ext: int) -> jnp.ndarray:
+    """#wildcards in [16*word_lo, 16*word_lo + i) for i in 0..n_ext —
+    dense unpack + cumsum replacing per-window rank gathers."""
+    # nbits packs 32 bases per word; align to the 16-base word grid
+    nw32 = -(-(n_ext + 16) // 32) + 1
+    nbits = jnp.concatenate([nbits, jnp.zeros(nw32, nbits.dtype)])
+    w = lax.dynamic_slice(nbits, (word_lo // 2,), (nw32,))
+    shifts = jnp.arange(31, -1, -1, dtype=jnp.uint32)
+    bits = ((w[:, None] >> shifts[None, :]) & 1).astype(jnp.int32) \
+        .reshape(-1)
+    off = (word_lo % 2) * 16            # traced: dynamic_slice, not []
+    bits = lax.dynamic_slice(bits, (off,), (n_ext,))
+    return jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(bits, dtype=jnp.int32)])
 
 
 def build_lists_impl(words: jnp.ndarray, nbits: jnp.ndarray,
                      ncum: jnp.ndarray,
                      start: jnp.ndarray, num_windows: int, seedl: int,
                      n: jnp.ndarray):
-    """Build sorted lists for windows [start, start+num_windows)."""
+    """Build sorted lists + bucket tables for windows
+    [start, start+num_windows). `start` must be a multiple of 16."""
     sc = SigConfig(seedl)
-    pos = start + jnp.arange(num_windows, dtype=jnp.int32)
-    in_range = pos <= (n - seedl)
+    word_lo = start.astype(jnp.int32) >> 4
+    n_ext = num_windows + seedl          # cover the last window's segments
+    ext = _ext16_all(words, word_lo, n_ext)
 
     segs = []
     for off, w in zip(sc.seg_offsets, sc.syms):
-        v = extract_bases16(words, pos + off)          # 16 bases MSB-first
-        segs.append(v >> jnp.uint32(2 * (16 - w)))      # top w bases
+        segs.append(ext[off:off + num_windows] >> jnp.uint32(2 * (16 - w)))
     sigs = sc.compose_pairs(segs)                       # list of [M] uint32
 
-    valid = in_range & is_dontcare_free(nbits, ncum, pos, seedl)
+    pos = start + jnp.arange(num_windows, dtype=jnp.int32)
+    in_range = pos <= (n - seedl)
+    npre = _n_prefix(nbits, word_lo, n_ext)
+    valid = in_range & ((npre[seedl:seedl + num_windows]
+                         - npre[:num_windows]) == 0)
     spos = jnp.where(valid, pos, POS_SENTINEL)
 
     # one batched variadic sort over all six lists ([6, M] rows) — a single
-    # XLA sort op keeps (remote) compile time flat vs six separate sorts
+    # XLA sort op keeps compile time flat vs six separate sorts
     keys = jnp.stack([jnp.where(valid, sigs[j], SIG_SENTINEL)
                       for j in range(NUM_LISTS)])
     comps = jnp.stack([sigs[NUM_LISTS - 1 - j] for j in range(NUM_LISTS)])
@@ -69,11 +124,31 @@ def build_lists_impl(words: jnp.ndarray, nbits: jnp.ndarray,
     # so equal signatures keep ascending text position
     skey, sp, scomp = lax.sort((keys, poss, comps), num_keys=2,
                                dimension=1)
-    return skey, scomp, sp
+
+    # bucket-begin tables (getLookupTable.hpp:26-51): one histogram over the
+    # top bucket_bits of each list, sentinels excluded, then exclusive scan
+    nb = 1 << sc.bucket_bits
+    h = (skey >> jnp.uint32(sc.bucket_shift)).astype(jnp.int32)
+    h = h + (jnp.arange(NUM_LISTS, dtype=jnp.int32) * nb)[:, None]
+    w8 = (sp != POS_SENTINEL).astype(jnp.int32)
+    counts = jax.ops.segment_sum(w8.reshape(-1), h.reshape(-1),
+                                 num_segments=NUM_LISTS * nb)
+    counts = counts.reshape(NUM_LISTS, nb)
+    bb = jnp.concatenate(
+        [jnp.zeros((NUM_LISTS, 1), jnp.int32),
+         jnp.cumsum(counts, axis=1, dtype=jnp.int32)], axis=1)
+    return skey, scomp, sp, bb
 
 
 _build_lists = jax.jit(build_lists_impl,
                        static_argnames=("seedl", "num_windows"))
+
+
+def shard_windows(num_windows: int, num_shards: int) -> int:
+    """Windows per shard, 16-aligned (so every shard's `start` is a
+    multiple of 16 as build_lists_impl requires)."""
+    per = -(-num_windows // num_shards)
+    return -(-per // 16) * 16
 
 
 def build_index(text: PackedText, seedl: int,
@@ -83,11 +158,13 @@ def build_index(text: PackedText, seedl: int,
 
     With defaults this indexes the whole text (single block). Passing a
     sub-range implements the reference's memory-bounded block streaming
-    (matchUniqueImplementation.cpp:1253) / our index sharding."""
+    (matchUniqueImplementation.cpp:1253) / our index sharding. `start`
+    must be 16-aligned (see shard_windows)."""
     total = max(text.n - seedl + 1, 0)
     if num_windows is None:
         num_windows = total - start
-    sig, comp, pos = _build_lists(
+    assert start % 16 == 0, "shard starts must be 16-aligned"
+    sig, comp, pos, bb = _build_lists(
         text.words, text.nbits, text.ncum,
         jnp.int32(start), int(num_windows), seedl, jnp.int32(text.n))
-    return SignatureIndex(sig=sig, comp=comp, pos=pos, seedl=seedl)
+    return SignatureIndex(sig=sig, comp=comp, pos=pos, bb=bb, seedl=seedl)

@@ -41,10 +41,17 @@ def _n_rank_excl_np(nbits: np.ndarray, ncum: np.ndarray,
     return ncum[np.minimum(wi, len(ncum) - 1)] + partial.astype(np.int32)
 
 
+def _round16(x: int) -> int:
+    """Round up to a multiple of 16 (shard starts must be 16-aligned for
+    the device build's phase-sliced extraction, index/build.py)."""
+    return -(-x // 16) * 16
+
+
 def build_lists_host(words: np.ndarray, nbits: np.ndarray, ncum: np.ndarray,
                      n: int, seedl: int, start: int = 0,
                      num_windows: int | None = None):
-    """Returns (sig, comp, pos) uint32/uint32/int32 arrays [6, M]."""
+    """Returns (sig, comp, pos, bb) arrays: [6, M] lists + [6, NB+1]
+    bucket-begin tables (getLookupTable.hpp:26-51)."""
     sc = SigConfig(seedl)
     sc.validate()
     total = max(n - seedl + 1, 0)
@@ -77,7 +84,14 @@ def build_lists_host(words: np.ndarray, nbits: np.ndarray, ncum: np.ndarray,
         sig_out[j] = key[order]
         comp_out[j] = sigs[NUM_LISTS - 1 - j][order]
         pos_out[j] = pos32[order]
-    return sig_out, comp_out, pos_out
+
+    nb = 1 << sc.bucket_bits
+    bb = np.zeros((NUM_LISTS, nb + 1), np.int32)
+    for j in range(NUM_LISTS):
+        live = pos_out[j] != POS_SENTINEL
+        h = (sig_out[j][live] >> np.uint32(sc.bucket_shift)).astype(np.int64)
+        bb[j, 1:] = np.cumsum(np.bincount(h, minlength=nb)).astype(np.int32)
+    return sig_out, comp_out, pos_out, bb
 
 
 def build_index_host(text, seedl: int, start: int = 0,
@@ -90,7 +104,8 @@ def build_index_host(text, seedl: int, start: int = 0,
     words = np.asarray(text.words)
     nbits = np.asarray(text.nbits)
     ncum = np.asarray(text.ncum)
-    sig, comp, pos = build_lists_host(words, nbits, ncum, text.n, seedl,
-                                      start, num_windows)
+    sig, comp, pos, bb = build_lists_host(words, nbits, ncum, text.n, seedl,
+                                          start, num_windows)
     return SignatureIndex(sig=jnp.asarray(sig), comp=jnp.asarray(comp),
-                          pos=jnp.asarray(pos), seedl=seedl)
+                          pos=jnp.asarray(pos), bb=jnp.asarray(bb),
+                          seedl=seedl)

@@ -52,6 +52,17 @@ class SigConfig:
         a, b = PAIR_SEGMENTS[j]
         return self.bits[a] + self.bits[b]
 
+    @property
+    def bucket_bits(self) -> int:
+        """Bucket-table width: the top min(22, pair_bits) signature bits
+        (getSampleBits.hpp:22-25 uses 22). seedl is a multiple of 4, so all
+        six pairs have the same width 2*(seedl/2) = seedl bits."""
+        return min(22, self.seedl)
+
+    @property
+    def bucket_shift(self) -> int:
+        return self.seedl - self.bucket_bits
+
     def compose_pairs(self, m: Sequence) -> List:
         """s0..s5 from segments m0..m3 (works for np or jnp uint32 arrays).
         sj = (m_a << bits_b) | m_b (SignatureConstruction.hpp:62-67)."""

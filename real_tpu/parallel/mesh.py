@@ -62,15 +62,16 @@ def build_sharded_index(words, nbits, ncum, n, *, seedl: int,
                         num_windows: int, mesh: Mesh):
     """Build [n_shard, 6, M_s] index arrays, shard s covering windows
     [s*M_s, (s+1)*M_s). Each device sorts only its own shard's lists."""
+    from real_tpu.index.hostbuild import _round16
     n_shard = mesh.shape["shard"]
-    per = -(-num_windows // n_shard)
+    per = _round16(-(-num_windows // n_shard))
 
     def local_build(words, nbits, ncum, n):
         from real_tpu.index.build import build_lists_impl
         s = lax.axis_index("shard")
-        sig, comp, pos = build_lists_impl(
+        sig, comp, pos, bb = build_lists_impl(
             words, nbits, ncum, (s * per).astype(jnp.int32), per, seedl, n)
-        return sig[None], comp[None], pos[None]
+        return sig[None], comp[None], pos[None], bb[None]
 
     fn = jax.shard_map(
         local_build, mesh=mesh,
@@ -83,7 +84,7 @@ def build_sharded_index(words, nbits, ncum, n, *, seedl: int,
     jax.jit,
     static_argnames=("seedl", "seedkmax", "totalkmax", "cand_cap",
                      "survivor_cap", "scores", "score_mode", "mesh"))
-def sharded_match_step(index_sig, index_comp, index_pos,     # [n_shard,6,M]
+def sharded_match_step(index_sig, index_comp, index_pos, index_bb,
                        words, nbits, ncum, frag_offsets,     # replicated
                        codes, quals, read_valid,             # [B,...] dp
                        state: MatchState, fileid, epsilon,
@@ -95,12 +96,12 @@ def sharded_match_step(index_sig, index_comp, index_pos,     # [n_shard,6,M]
     read slice against its index shard; survivors are all-gathered over
     'shard' and folded in shard-major (= reference block-major) order."""
 
-    def local_step(sig, comp, pos, words, nbits, ncum, frag_offsets,
+    def local_step(sig, comp, pos, bb, words, nbits, ncum, frag_offsets,
                    codes, quals, read_valid, state, fileid, epsilon,
                    prep):
-        sig, comp, pos = sig[0], comp[0], pos[0]    # drop shard dim
+        sig, comp, pos, bb = sig[0], comp[0], pos[0], bb[0]  # drop shard dim
         surv, tw = find_survivors(
-            sig, comp, pos, words, nbits, ncum, frag_offsets,
+            sig, comp, pos, bb, words, nbits, ncum, frag_offsets,
             codes, quals, read_valid,
             seedl=seedl, seedkmax=seedkmax, totalkmax=totalkmax,
             cand_cap=cand_cap, survivor_cap=survivor_cap)
@@ -130,7 +131,7 @@ def sharded_match_step(index_sig, index_comp, index_pos,     # [n_shard,6,M]
 
     fn = jax.shard_map(
         local_step, mesh=mesh,
-        in_specs=(P("shard"), P("shard"), P("shard"),
+        in_specs=(P("shard"), P("shard"), P("shard"), P("shard"),
                   P(), P(), P(), P(),
                   P("dp"), P("dp"), P("dp"),
                   jax.tree.map(lambda _: P("dp"), state),
@@ -138,6 +139,6 @@ def sharded_match_step(index_sig, index_comp, index_pos,     # [n_shard,6,M]
                   _prep_specs(prep)),
         out_specs=(jax.tree.map(lambda _: P("dp"), state), P("dp")),
         check_vma=False)
-    return fn(index_sig, index_comp, index_pos, words, nbits, ncum,
-              frag_offsets, codes, quals, read_valid, state,
+    return fn(index_sig, index_comp, index_pos, index_bb, words, nbits,
+              ncum, frag_offsets, codes, quals, read_valid, state,
               jnp.int32(fileid), jnp.float32(epsilon), prep)

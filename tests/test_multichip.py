@@ -45,7 +45,7 @@ KW = dict(seedl=32, seedkmax=2, totalkmax=5, cand_cap=32, survivor_cap=32,
 def _single(text, codes, quals, valid, prep, scores):
     index = build_index(text, 32)
     st, _ = match_step(
-        index.sig, index.comp, index.pos,
+        index.sig, index.comp, index.pos, index.bb,
         text.words, text.nbits, text.ncum, text.frag_offsets,
         codes, quals, valid, initial_state(codes.shape[0]),
         jnp.int32(0), np.float32(80 * 5 / 70.0), prep,
@@ -56,11 +56,11 @@ def _single(text, codes, quals, valid, prep, scores):
 def _sharded(text, codes, quals, valid, prep, scores, n_dp, n_shard):
     mesh = make_mesh(n_dp, n_shard)
     num_windows = text.n - 32 + 1
-    sig, comp, pos = build_sharded_index(
+    sig, comp, pos, bb = build_sharded_index(
         text.words, text.nbits, text.ncum, jnp.int32(text.n),
         seedl=32, num_windows=num_windows, mesh=mesh)
     st, _of = sharded_match_step(
-        sig, comp, pos,
+        sig, comp, pos, bb,
         text.words, text.nbits, text.ncum, text.frag_offsets,
         codes, quals, valid, initial_state(codes.shape[0]),
         0, np.float32(80 * 5 / 70.0), prep,
@@ -92,7 +92,7 @@ def test_ff_score_mode_matches_f64(setup):
     for mode in ("f64", "ff"):
         kw["score_mode"] = mode
         st, _ = match_step(
-            index.sig, index.comp, index.pos,
+            index.sig, index.comp, index.pos, index.bb,
             text.words, text.nbits, text.ncum, text.frag_offsets,
             codes, quals, valid, initial_state(codes.shape[0]),
             jnp.int32(0), np.float32(80 * 5 / 70.0), prep,
