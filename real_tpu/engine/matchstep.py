@@ -37,9 +37,10 @@ compaction uses a stable argsort on that order, so the scores-mode
 automaton (which is order-sensitive in epsilon corner cases) replays the
 reference's merge order bit-exactly.
 
-The no-scores automaton is provably order-free (min-errors with tie =>
-NonUnique is an associative, commutative monoid — see engine/monoid.py),
-which is what makes cross-shard all-reduce merging legal in that mode.
+The no-scores automaton folds into an associative left-biased monoid
+(commutative across shards' disjoint loci — see engine/monoid.py and
+tests/test_monoid.py), which is what makes cross-shard merging legal in
+that mode; scores mode is order-defined and must replay reference order.
 
 Data-dependent candidate counts are capped at K per probe and S survivors
 per read-step; overflow is counted and reported so the driver can rerun

@@ -15,10 +15,11 @@ Cross-shard merge: each device's verified survivors (<= S per read) are
 all-gathered over the shard axis and folded through the best-hit automaton
 in shard-major order — which IS the reference's block-major merge order, so
 even the order-sensitive scores mode stays bit-exact (see
-matchstep.fold_unique). The no-scores automaton is additionally an
-associative commutative monoid (engine/monoid.py), so that mode could use a
-tree all-reduce; we keep the ordered gather-fold for both since survivor
-tensors are tiny (n_shard * B * S records).
+matchstep.fold_unique). The no-scores automaton additionally folds into an
+associative (left-biased, commutative across shards' disjoint loci) monoid
+(engine/monoid.py), so that mode could use an ordered tree-reduce; we keep
+the ordered gather-fold for both since survivor tensors are tiny
+(n_shard * B * S records).
 """
 
 from __future__ import annotations
