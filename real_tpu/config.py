@@ -44,10 +44,15 @@ class RealConfig:
     # with 4x-escalated caps (engine/driver.py), preserving exactness.
     cand_cap: int = 8            # max candidates examined per (read, probe)
     survivor_cap: int = 8        # max verified hits folded per read per step
-    index_shards: int = 1        # index shards across devices
+    index_shards: int = 0        # index shards; 0 = plan from -f HBM budget
+                                 # (parallel/plan.py). Shards beyond the mesh
+                                 # shard axis run as sequential passes.
     device_index_build: bool = True   # True: lax.sort on device (fast; one
                                       # cached XLA compile). False: NumPy
                                       # host build — identical output, tested
+    use_mesh: object = None           # None = auto (mesh when devices > 1);
+                                      # True/False force the mesh/sequential
+                                      # driver path (tests cover both)
 
     filter_mult: float = dataclasses.field(init=False, default=0.0)
 

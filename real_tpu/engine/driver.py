@@ -5,11 +5,19 @@ Loop structure mirrors the reference
 
     for each text file:                 (getFileList, ".fa" suffix)
       build packed text + fragment ranges
-      for each index shard (block):     (memory-bounded block streaming)
+      plan index shards from the -f HBM budget (plan.py ~ :1208-1244)
+      for each shard pass:              (memory-bounded block streaming)
         build sorted signature lists    (device, lax.sort)
         for each read length-bucket batch:
           match_step(...)               (jitted; state persists per read)
     final pass: format records in read order
+
+With more than one device the per-pass work runs on a ("dp", "shard")
+mesh (parallel/mesh.py): the index shards of one pass live on the shard
+axis simultaneously, reads are data-parallel over dp, and survivors are
+merged in shard-major order — the reference's sequential block loop,
+parallelized without changing merge order. One device degenerates to the
+sequential loop (identical math; tests assert equality).
 
 Per-read best-hit state lives on device across files and shards, exactly
 like the reference's single uniqueinfo array
@@ -32,11 +40,11 @@ import numpy as np
 
 from real_tpu.config import RealConfig
 from real_tpu.engine import matchstep
-from real_tpu.engine.matchstep import MatchState, initial_state, \
-    match_step, null_score_prep
+from real_tpu.engine.matchstep import MatchState, initial_state, match_step
 from real_tpu.index.build import build_index
 from real_tpu.io import fasta, reads as reads_io
-from real_tpu.scoring.scoring import Scoring, make_score_prep
+from real_tpu.parallel import plan
+from real_tpu.scoring.scoring import Scoring, score_tables
 from real_tpu.text.packed import PackedText, build_packed_text
 
 _REMAP = np.frombuffer(b"ACGTN", dtype=np.uint8)
@@ -91,6 +99,37 @@ def _shard_bounds(num_windows: int, num_shards: int) -> List[Tuple[int, int]]:
             for s in range(0, num_windows, per)]
 
 
+def _bsearch_steps_bb(bb, cand_cap: int) -> int:
+    """Static in-bucket binary-search depth for find_survivors.
+
+    0 when no bucket holds more than cand_cap entries (candidates can be
+    read straight from bucket begin); else enough bisection steps to
+    locate the exact equal-range begin in the fullest bucket, rounded up
+    to a multiple of 4 to limit recompiles across shards."""
+    occ = int(jnp.max(bb[..., 1:] - bb[..., :-1]))
+    if occ <= cand_cap:
+        return 0
+    steps = int(np.ceil(np.log2(occ + 1)))
+    return -(-steps // 4) * 4
+
+
+def _plan_shards(cfg: RealConfig, text: PackedText) -> int:
+    """-shards override or the -f fracmem HBM planner."""
+    if cfg.index_shards > 0:
+        return cfg.index_shards
+    num_windows = max(text.n - cfg.seedl + 1, 0)
+    reserved = text.words.nbytes + text.nbits.nbytes + text.ncum.nbytes
+    return plan.plan_index_shards(num_windows, cfg.fracmem,
+                                  reserved_bytes=reserved)
+
+
+def _step_kwargs(cfg, cand_cap, survivor_cap, score_mode, tables):
+    return dict(tables=tables, seedl=cfg.seedl, seedkmax=cfg.seedkmax,
+                totalkmax=cfg.totalkmax, cand_cap=cand_cap,
+                survivor_cap=survivor_cap, scores=cfg.scores,
+                score_mode=score_mode)
+
+
 @dataclasses.dataclass
 class MatchResult:
     """Final per-read state (host)."""
@@ -100,6 +139,68 @@ class MatchResult:
     fileid: np.ndarray
     errs: np.ndarray
     score: np.ndarray
+
+
+def _text_usable(cfg: RealConfig, tf: TextFile, verbose: bool) -> bool:
+    text = tf.packed
+    if text.n < cfg.seedl:
+        if verbose:
+            print(f"File {tf.name} is too small for seed length, "
+                  "skipping it.", file=sys.stderr)
+        return False
+    if text.num_fragments > MAX_FRAGMENTS_PER_FILE:
+        if verbose:
+            print(f"Number of fragments {text.num_fragments + 1} in file is "
+                  "larger than limit we can handle, skipping it.",
+                  file=sys.stderr)
+        return False
+    return True
+
+
+def _foreach_shard_seq(cfg: RealConfig, texts: List[TextFile], cand_cap,
+                       visit):
+    """Sequential (1-device) outer loop: for each text file and index
+    shard, call visit(fi, text, index, bsearch_steps)."""
+    for fi, tf in enumerate(texts):
+        if not _text_usable(cfg, tf, verbose=True):
+            continue
+        text = tf.packed
+        num_windows = text.n - cfg.seedl + 1
+        shards = _plan_shards(cfg, text)
+        for (s, e) in _shard_bounds(num_windows, shards):
+            index = _build(cfg, text, start=s, num_windows=e - s)
+            steps = _bsearch_steps_bb(index.bb, cand_cap)
+            visit(fi, text, index, steps)
+
+
+def _foreach_shard_mesh(cfg: RealConfig, texts: List[TextFile], cand_cap,
+                        visit):
+    """Mesh outer loop: for each text file, build n_shard index shards at
+    once per pass and call visit(fi, text, mesh, (sig, pos, bb),
+    bsearch_steps)."""
+    from real_tpu.index.hostbuild import _round16
+    from real_tpu.parallel.mesh import build_sharded_index, make_mesh
+
+    n_dev = len(jax.devices())
+    for fi, tf in enumerate(texts):
+        if not _text_usable(cfg, tf, verbose=True):
+            continue
+        text = tf.packed
+        num_windows = text.n - cfg.seedl + 1
+        total_shards = _plan_shards(cfg, text)
+        n_dp, n_shard = plan.choose_mesh_shape(n_dev, total_shards)
+        mesh = make_mesh(n_dp, n_shard)
+        rounds = -(-total_shards // n_shard)
+        per_shard = _round16(-(-num_windows // (rounds * n_shard)))
+        for r in range(rounds):
+            start = r * n_shard * per_shard
+            if start >= num_windows:
+                break
+            arrays = build_sharded_index(
+                text.words, text.nbits, text.ncum, jnp.int32(text.n),
+                start, seedl=cfg.seedl, per_shard=per_shard, mesh=mesh)
+            steps = _bsearch_steps_bb(arrays[2], cand_cap)
+            visit(fi, text, mesh, arrays, steps)
 
 
 def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
@@ -113,10 +214,13 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
     cand_cap = cand_cap or cfg.cand_cap
     survivor_cap = survivor_cap or cfg.survivor_cap
     numpat = rs.num_reads
+    n_dev = len(jax.devices())
+    use_mesh = cfg.use_mesh if cfg.use_mesh is not None else n_dev > 1
 
     scoring = Scoring(cfg.similarity, cfg.gc, cfg.trans, cfg.err,
                       cfg.gcmut_bias)
-    prep_fn = make_score_prep(scoring) if cfg.scores else None
+    tables = score_tables(scoring) if cfg.scores else None
+    kw = _step_kwargs(cfg, cand_cap, survivor_cap, score_mode, tables)
 
     result = MatchResult(
         st=np.zeros(numpat, np.int32), pos=np.zeros(numpat, np.int32),
@@ -124,41 +228,42 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
         errs=np.zeros(numpat, np.int32),
         score=np.full(numpat, -np.finfo(np.float32).max, np.float32))
 
-    batches = _make_batches(cfg, rs, patid_filter)
+    batches = _make_batches(cfg, rs, patid_filter,
+                            row_align=n_dev if use_mesh else 1)
     states: Dict[int, MatchState] = {
         bi: initial_state(b.codes.shape[0]) for bi, b in enumerate(batches)}
-    preps = [prep_fn(b.codes, b.quals) if cfg.scores
-             else null_score_prep(b.codes.shape[0], b.patl)
-             for b in batches]
     overflow = np.zeros(numpat, bool)
     overflows: Dict[int, list] = {}
 
-    for fi, tf in enumerate(texts):
-        text = tf.packed
-        if text.n < cfg.seedl:
-            print(f"File {tf.name} is too small for seed length, "
-                  "skipping it.", file=sys.stderr)
-            continue
-        if text.num_fragments > MAX_FRAGMENTS_PER_FILE:
-            print(f"Number of fragments {text.num_fragments + 1} in file is "
-                  "larger than limit we can handle, skipping it.",
-                  file=sys.stderr)
-            continue
-        num_windows = text.n - cfg.seedl + 1
-        for (s, e) in _shard_bounds(num_windows, cfg.index_shards):
-            index = _build(cfg, text, start=s, num_windows=e - s)
+    if use_mesh:
+        from real_tpu.parallel.mesh import sharded_match_step
+
+        def visit(fi, text, mesh, arrays, steps):
+            sig, pos, bb = arrays
+            for bi, b in enumerate(batches):
+                eps = np.float32(cfg.filter_value(b.patl))
+                states[bi], of = sharded_match_step(
+                    sig, pos, bb,
+                    text.words, text.nbits, text.ncum, text.frag_offsets,
+                    b.codes, b.quals, b.valid,
+                    states[bi], jnp.int32(fi), eps,
+                    mesh=mesh, bsearch_steps=steps, matchall=False, **kw)
+                overflows.setdefault(bi, []).append(of)
+
+        _foreach_shard_mesh(cfg, texts, cand_cap, visit)
+    else:
+        def visit(fi, text, index, steps):
             for bi, b in enumerate(batches):
                 eps = np.float32(cfg.filter_value(b.patl))
                 states[bi], surv = match_step(
-                    index.sig, index.comp, index.pos, index.bb,
+                    index.sig, index.pos, index.bb,
                     text.words, text.nbits, text.ncum, text.frag_offsets,
                     b.codes, b.quals, b.valid,
-                    states[bi], jnp.int32(fi), eps, preps[bi],
-                    seedl=cfg.seedl, seedkmax=cfg.seedkmax,
-                    totalkmax=cfg.totalkmax, cand_cap=cand_cap,
-                    survivor_cap=survivor_cap, scores=cfg.scores,
-                    score_mode=score_mode, matchall=False)
+                    states[bi], jnp.int32(fi), eps,
+                    matchall=False, bsearch_steps=steps, **kw)
                 overflows.setdefault(bi, []).append(surv.overflow)
+
+        _foreach_shard_seq(cfg, texts, cand_cap, visit)
 
     # one D2H round-trip for everything: concatenate per-batch state and
     # overflow on device, fetch once
@@ -210,9 +315,13 @@ class Batch:
 
 
 def _make_batches(cfg: RealConfig, rs: reads_io.ReadSet,
-                  patid_filter: Optional[np.ndarray]) -> List[Batch]:
+                  patid_filter: Optional[np.ndarray],
+                  row_align: int = 1) -> List[Batch]:
+    """Length-bucketed fixed-shape batches. row_align makes every batch's
+    row count divisible by the mesh dp axis."""
     batches: List[Batch] = []
     warned_short = False
+    B = -(-cfg.batch_size // row_align) * row_align
     for patl, patids in sorted(rs.length_buckets().items()):
         if patid_filter is not None:
             patids = patids[np.isin(patids, patid_filter)]
@@ -228,13 +337,13 @@ def _make_batches(cfg: RealConfig, rs: reads_io.ReadSet,
         if quals_all is None:
             quals_all = np.full_like(codes_all, 30, dtype=np.int8)
         valid_all = (codes_all <= 3).all(axis=1)
-        B = cfg.batch_size
         # one device shape per length bucket: tail batches pad to the same
         # row count as full batches (jit compiles once per bucket).
         # Upload the whole bucket in ONE host->device transfer (padded to a
         # batch multiple), then slice per batch on device — per-batch
         # transfers are latency-bound on remote/tunneled devices.
         bucket_rows = B if len(patids) > B else _round_b(len(patids), B)
+        bucket_rows = -(-bucket_rows // row_align) * row_align
         nb = -(-len(patids) // bucket_rows)
         rows = nb * bucket_rows
         n = len(patids)
@@ -275,6 +384,60 @@ def _round_b(n: int, bmax: int) -> int:
 # matchAll
 # ---------------------------------------------------------------------------
 
+class _HitAccumulator:
+    """Vectorized hit collection: np.nonzero per step (no per-read Python
+    loop), one global lexsort + dedup at the end
+    (matchAllImplementation.cpp:99-161 'unifyMatches' semantics)."""
+
+    def __init__(self) -> None:
+        self.cols: List[Tuple[np.ndarray, ...]] = []
+
+    def add(self, sv, patids: np.ndarray, fi: int, n: int,
+            overflow_out: np.ndarray) -> None:
+        overflow_out[patids[sv.overflow[:n]]] = True
+        rr, jj = np.nonzero(sv.valid[:n])
+        if rr.size == 0:
+            return
+        self.cols.append((
+            patids[rr].astype(np.int64),
+            sv.k[:n][rr, jj].astype(np.int64),
+            sv.pos[:n][rr, jj].astype(np.int64),
+            np.full(rr.size, fi, np.int64),
+            sv.frag[:n][rr, jj].astype(np.int64),
+            sv.score[:n][rr, jj].astype(np.float32),
+            sv.inv[:n][rr, jj]))
+
+    def finalize(self) -> Dict[int, List[tuple]]:
+        if not self.cols:
+            return {}
+        pid, k, pos, fid, frag, score, inv = (
+            np.concatenate([c[i] for c in self.cols]) for i in range(7))
+        # sort by (pid; k, pos, fileid, frag, score, inv) — the reference's
+        # MatchPosAndError ordering (matchAllImplementation.cpp:121-148)
+        order = np.lexsort((inv, score, frag, fid, pos, k, pid))
+        pid, k, pos, fid, frag, score, inv = (
+            a[order] for a in (pid, k, pos, fid, frag, score, inv))
+        # dedup identical consecutive records (unifyMatches :150-161)
+        keep = np.ones(len(pid), bool)
+        if len(pid) > 1:
+            same = ((pid[1:] == pid[:-1]) & (k[1:] == k[:-1])
+                    & (pos[1:] == pos[:-1]) & (fid[1:] == fid[:-1])
+                    & (frag[1:] == frag[:-1]) & (score[1:] == score[:-1])
+                    & (inv[1:] == inv[:-1]))
+            keep[1:] = ~same
+        pid, k, pos, fid, frag, score, inv = (
+            a[keep] for a in (pid, k, pos, fid, frag, score, inv))
+        out: Dict[int, List[tuple]] = {}
+        bounds = np.flatnonzero(np.diff(pid)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(pid)]])
+        for s, e in zip(starts, ends):
+            out[int(pid[s])] = [
+                (int(k[i]), int(pos[i]), int(fid[i]), int(frag[i]),
+                 float(score[i]), bool(inv[i])) for i in range(s, e)]
+        return out
+
+
 def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
                   texts: List[TextFile],
                   score_mode: Optional[str] = None,
@@ -290,52 +453,54 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
     score_mode = score_mode or default_score_mode()
     cand_cap = cand_cap or cfg.cand_cap
     survivor_cap = survivor_cap or cfg.survivor_cap
+    n_dev = len(jax.devices())
+    use_mesh = cfg.use_mesh if cfg.use_mesh is not None else n_dev > 1
 
     scoring = Scoring(cfg.similarity, cfg.gc, cfg.trans, cfg.err,
                       cfg.gcmut_bias)
-    prep_fn = make_score_prep(scoring) if cfg.scores else None
+    tables = score_tables(scoring) if cfg.scores else None
+    kw = _step_kwargs(cfg, cand_cap, survivor_cap, score_mode, tables)
 
-    batches = _make_batches(cfg, rs, patid_filter)
-    hits: Dict[int, List[tuple]] = {}
+    batches = _make_batches(cfg, rs, patid_filter,
+                            row_align=n_dev if use_mesh else 1)
     overflow = np.zeros(rs.num_reads, bool)
     dummy_states = {bi: initial_state(b.codes.shape[0])
                     for bi, b in enumerate(batches)}
-    preps = [prep_fn(b.codes, b.quals) if cfg.scores
-             else null_score_prep(b.codes.shape[0], b.patl)
-             for b in batches]
+    acc = _HitAccumulator()
 
-    for fi, tf in enumerate(texts):
-        text = tf.packed
-        if text.n < cfg.seedl or text.num_fragments > MAX_FRAGMENTS_PER_FILE:
-            continue
-        num_windows = text.n - cfg.seedl + 1
-        for (s, e) in _shard_bounds(num_windows, cfg.index_shards):
-            index = _build(cfg, text, start=s, num_windows=e - s)
+    if use_mesh:
+        from real_tpu.parallel.mesh import sharded_match_step
+
+        def visit(fi, text, mesh, arrays, steps):
+            sig, pos, bb = arrays
+            for bi, b in enumerate(batches):
+                eps = np.float32(cfg.filter_value(b.patl))
+                _, seq = sharded_match_step(
+                    sig, pos, bb,
+                    text.words, text.nbits, text.ncum, text.frag_offsets,
+                    b.codes, b.quals, b.valid,
+                    dummy_states[bi], jnp.int32(fi), eps,
+                    mesh=mesh, bsearch_steps=steps, matchall=True, **kw)
+                acc.add(jax.tree.map(np.asarray, seq), b.patids, fi,
+                        len(b.patids), overflow)
+
+        _foreach_shard_mesh(cfg, texts, cand_cap, visit)
+    else:
+        def visit(fi, text, index, steps):
             for bi, b in enumerate(batches):
                 eps = np.float32(cfg.filter_value(b.patl))
                 _, surv = match_step(
-                    index.sig, index.comp, index.pos, index.bb,
+                    index.sig, index.pos, index.bb,
                     text.words, text.nbits, text.ncum, text.frag_offsets,
                     b.codes, b.quals, b.valid,
-                    dummy_states[bi], jnp.int32(fi), eps, preps[bi],
-                    seedl=cfg.seedl, seedkmax=cfg.seedkmax,
-                    totalkmax=cfg.totalkmax, cand_cap=cand_cap,
-                    survivor_cap=survivor_cap, scores=cfg.scores,
-                    score_mode=score_mode, matchall=True)
-                sv = jax.tree.map(np.asarray, surv)
-                n = len(b.patids)
-                overflow[b.patids[sv.overflow[:n]]] = True
-                for r in range(n):
-                    mask = sv.valid[r]
-                    if not mask.any():
-                        continue
-                    pid = int(b.patids[r])
-                    lst = hits.setdefault(pid, [])
-                    for j in np.flatnonzero(mask):
-                        lst.append((int(sv.k[r, j]), int(sv.pos[r, j]),
-                                    fi, int(sv.frag[r, j]),
-                                    float(sv.score[r, j]),
-                                    bool(sv.inv[r, j])))
+                    dummy_states[bi], jnp.int32(fi), eps,
+                    matchall=True, bsearch_steps=steps, **kw)
+                acc.add(jax.tree.map(np.asarray, surv), b.patids, fi,
+                        len(b.patids), overflow)
+
+        _foreach_shard_seq(cfg, texts, cand_cap, visit)
+
+    hits = acc.finalize()
 
     over_ids = np.flatnonzero(overflow)
     if len(over_ids):
@@ -346,11 +511,6 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
                             survivor_cap=survivor_cap * 4, _depth=_depth + 1)
         for pid in over_ids:
             hits[int(pid)] = sub.get(int(pid), [])
-
-    # unify: sort + dedup (matchAllImplementation.cpp:148-161)
-    out: Dict[int, List[tuple]] = {}
-    for pid, lst in hits.items():
-        key = lambda h: (h[0], h[1], h[2], h[3], h[4], h[5])
-        lst = sorted(set(lst), key=key)
-        out[pid] = lst
-    return out
+            if not hits[int(pid)]:
+                del hits[int(pid)]
+    return hits

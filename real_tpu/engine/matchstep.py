@@ -4,30 +4,32 @@ TPU-first redesign of the reference's candidate loop (match.hpp:335-416):
 
   reference (scalar, per read, per list)          this engine (vectorized)
   ------------------------------------------     -------------------------
-  bucket table + std::equal_range                one searchsorted + stored-
-                                                 signature equality gathers
-  for each candidate: diffcountpair(seed)        XOR + pair-fold popcount on
-                                                 [B, 12, K] uint32 lanes
+  bucket table + std::equal_range                bucket-bound gathers +
+                                                 optional in-bucket bisection
+  for each candidate: diffcountpair(seed)        seed-region-masked popcount
+                                                 of the verified window
   RestMatch popcount loop                        full-window popcount on the
                                                  compacted survivors only
   RangeVector + N-mask checks                    searchsorted + rank gathers
-  ComputeScore LUT walk                          rank-1 factored LUT: per-
-                                                 batch (hi,lo) delta arrays,
+  ComputeScore LUT walk                          rank-1 factored LUT: (hi,lo)
+                                                 delta arrays derived in-jit,
                                                  per-lane VPU selects only
   UpdateUniqueInfo state machine                 lax.scan automaton fold
 
 The pipeline is two-phase to keep the gather volume proportional to REAL
 candidates, not to the K candidate lanes:
 
-  phase 1 (cheap, [B, 12, K]):   equal-range membership (stored signature ==
-      probe signature), seed distance from the stored complementary pair
-      (match.hpp:386), position recovery — only index-array gathers.
+  phase 1 (gather-free, [B, 12, K] bools): candidate-range COUNTS from the
+      bucket table (optionally bisected to the exact equal range) decide
+      lane validity — no per-lane index gathers at all.
   compaction:                    stable-sort the valid lanes to <= S
       survivors per read in reference merge order.
-  phase 2 (text gathers, [B, S]): fragment containment, N-freedom, the
-      full-window popcount Hamming distance (== seedk + restk of
-      RestMatch.hpp:39-81, since the probe pair matches exactly), and the
-      odds-ratio score — all on the compacted lanes.
+  phase 2 (gathers, [B, S]): ONE (position, signature) index gather pair
+      per survivor lane (signature equality drops bucket-mates), fragment
+      containment, N-freedom, the full-window popcount Hamming distance
+      split into seed-region and total counts (== the diffcountpair seed
+      check of match.hpp:386 + the rest loop of RestMatch.hpp:39-81), and
+      the odds-ratio score — all on the compacted lanes.
 
 Candidate order is preserved exactly: probes run list 0..5 straight then
 list 0..5 reverse-complement (matchUniqueImplementation.cpp:416-488), and
@@ -103,42 +105,9 @@ class Survivors(NamedTuple):
     overflow: jnp.ndarray  # bool [B] — capped candidates/survivors dropped
 
 
-class ScorePrep(NamedTuple):
-    """Per-batch scoring precompute (engine/driver.py:score_prep).
-
-    The reference LUT factorizes (Scoring.cpp:170):
-        LL[ref, read, q] = log2(oddsRatio[ref][read]) * (1 - Q_PRB[q])
-    so a hit's score splits into a per-read part plus mismatch-only deltas:
-        score = 1 + sum_i LL[read_i, read_i, q_i]          (base, per read)
-                  + sum_i (LL[ref_i, read_i, q_i]
-                           - LL[read_i, read_i, q_i])      (delta, per hit)
-    and the delta factor D[r] = (A[r, read_i] - A[read_i, read_i]) * B[q_i]
-    depends only on (read base, quality, hypothesized ref base r) — all
-    known per batch. The hot per-candidate loop then only *selects* among
-    the four precomputed delta lanes by the actual ref base: zero gathers.
-
-    All values are (hi, lo) float32 splits of the float64 quantities; the
-    products are formed with Dekker-split multiplies in score_prep, keeping
-    ~2^-45 relative accuracy vs the reference's f64 accumulation.
-    """
-    d4s_hi: jnp.ndarray   # f32 [B, patl, 4] delta if ref base == r, straight
-    d4s_lo: jnp.ndarray
-    d4r_hi: jnp.ndarray   # f32 [B, patl, 4] same for the RC orientation
-    d4r_lo: jnp.ndarray
-    base_s_hi: jnp.ndarray  # f32 [B] sum of diagonal (match) terms
-    base_s_lo: jnp.ndarray
-    base_r_hi: jnp.ndarray
-    base_r_lo: jnp.ndarray
-    ll_hi: jnp.ndarray    # f32 [1024] LUT split — exact f64 path (CPU tests)
-    ll_lo: jnp.ndarray
-
-
-def null_score_prep(batch: int, patl: int) -> ScorePrep:
-    """Placeholder prep for scores=False steps (never read)."""
-    z2 = jnp.zeros((batch, patl, 4), jnp.float32)
-    z1 = jnp.zeros(batch, jnp.float32)
-    zt = jnp.zeros(1024, jnp.float32)
-    return ScorePrep(z2, z2, z2, z2, z1, z1, z1, z1, zt, zt)
+# (ScoreTables — the ~1.3 KB constant factor tables baked into the
+# compiled step — lives in real_tpu/scoring/scoring.py; the per-batch
+# delta arrays are derived from it inside the jit, _score_prep_inline.)
 
 
 # ---------------------------------------------------------------------------
@@ -218,89 +187,135 @@ def _extract_windows(words: jnp.ndarray, pos: jnp.ndarray, nw: int):
     return out                                   # list of nw [.. same shape]
 
 
+def _seed_masks(patl: int, seedl: int, nw: int):
+    """Per-word 2-bit masks selecting the SEED region of the window:
+    straight hits carry the seed at window start [0, seedl); reverse hits
+    at the end [patl-seedl, patl) (RestMatch.hpp:84-89). Returns
+    (mask_straight [nw], mask_reverse [nw]) uint32."""
+    def region(a, b):
+        out = np.zeros(nw, dtype=np.uint32)
+        for w in range(nw):
+            w0, w1 = 16 * w, 16 * w + 16
+            s, e = max(a, w0), min(b, w1)
+            if s < e:
+                m = ((np.uint64(1) << np.uint64(2 * (e - s))) - np.uint64(1))
+                out[w] = np.uint32(m << np.uint64(2 * (w1 - e)))
+        return out
+    return region(0, seedl), region(patl - seedl, patl)
+
+
 def find_survivors(
-        index_sig, index_comp, index_pos, index_bb,   # [6, M] + bucket table
+        index_sig, index_pos, index_bb,            # [6, M] + bucket table
         words, nbits, ncum, frag_offsets,          # text arrays
         codes, quals, read_valid,                  # [B, L], [B, L], [B]
         *, seedl: int, seedkmax: int, totalkmax: int,
-        cand_cap: int, survivor_cap: int) -> Survivors:
+        cand_cap: int, survivor_cap: int,
+        bsearch_steps: int = 0) -> Survivors:
     """All verified hits of the batch against this index shard, compacted to
-    <= survivor_cap per read in reference merge order."""
+    <= survivor_cap per read in reference merge order.
+
+    Gather-minimal design: candidate VALIDITY comes from range COUNTS
+    alone (no per-lane signature gathers), and the seed-error count comes
+    from the text window itself (a seed-region-masked popcount over the
+    same words phase 2 already gathers — identical to the reference's
+    diffcountpair on the stored complementary pair, match.hpp:386, for
+    every true candidate). The candidate range per probe is the exact
+    std::equal_range (bsearch_steps > 0) or its enclosing bucket
+    (bsearch_steps == 0, cheap when buckets are sparse). A bucket range
+    may over-approximate the equal range; those extra lanes are removed
+    AFTER compaction by one stored-signature equality gather on the
+    compacted [B, S] — necessary for exactness, not just hygiene: a
+    bucket-mate admitting a true hit through the wrong list would move
+    its first fold occurrence EARLIER than the reference's probe order,
+    which the order-sensitive scores automaton can observe (see
+    engine/monoid.py scores non-associativity). Only index gathers that
+    remain: the [6, 2B] bucket bounds, the bisection probes, and ONE
+    (position, signature) gather pair per compacted survivor lane —
+    gather volume is independent of cand_cap."""
     B, patl = codes.shape
     K, S = cand_cap, survivor_cap
     restlen = patl - seedl
     kw = (patl + 15) // 16
     M = index_sig.shape[1]
 
-    probe_sig, probe_comp = compute_probes(codes, seedl)
+    probe_sig, _probe_comp = compute_probes(codes, seedl)
     words_s, words_r = pack_read_words(codes)
 
-    # ---- phase 1: bucket lookup + seed check on [B, 12, K] -----------------
-    # one bucket-table gather per probe (the reference's lookup table,
-    # match.hpp:376-378); equal-range membership comes from stored-signature
-    # equality on the K gathered lanes. An equal range never crosses a
-    # bucket, so `bucket count > K` exactly flags any range the K lanes
-    # could not cover (driver escalates those reads).
+    # ---- phase 1: candidate ranges from the bucket table -------------------
+    # (the reference's lookup table + equal_range, match.hpp:376-382)
     shift = SigConfig(seedl).bucket_shift
     by_list = probe_sig.T.reshape(2, NUM_LISTS, B).transpose(1, 0, 2) \
         .reshape(NUM_LISTS, 2 * B)
     h = (by_list >> jnp.uint32(shift)).astype(jnp.int32)
     lo = jnp.take_along_axis(index_bb, h, axis=1)
     hi = jnp.take_along_axis(index_bb, h + 1, axis=1)
-    overflow = ((hi - lo) > K).reshape(NUM_LISTS, 2, B).any(axis=(0, 1))
+    if bsearch_steps:
+        # refine to the exact equal range with two bisections (first >=
+        # probe, first > probe); driver picks steps covering the fullest
+        # bucket, so candidate count is bucket-occupancy-independent
+        def bisect(gt: bool):
+            l, h2 = lo, hi
+            for _ in range(bsearch_steps):
+                mid = (l + h2) >> 1
+                v = jnp.take_along_axis(index_sig, jnp.minimum(mid, M - 1),
+                                        axis=1)
+                live = l < h2
+                go_right = ((v <= by_list) if gt else (v < by_list)) & live
+                l, h2 = (jnp.where(go_right, mid + 1, l),
+                         jnp.where(~go_right & live, mid, h2))
+            return l
+        begin = bisect(False)
+        end = bisect(True)
+    else:
+        begin, end = lo, hi
+    count = jnp.minimum(end - begin, jnp.int32(2 * M))   # [6, 2B]
+    over_probe = count > K
+    overflow = over_probe.reshape(NUM_LISTS, 2, B).any(axis=(0, 1))
 
-    idx_raw = lo[..., None] + jnp.arange(K, dtype=lo.dtype)   # [6, 2B, K]
-    in_bounds = idx_raw < jnp.minimum(hi, M)[..., None]
-    idx = jnp.minimum(idx_raw, M - 1)
+    def to_probe_major(a):   # [6, 2B] -> [B, 12], probe = strand*6 + list
+        return a.reshape(NUM_LISTS, 2, B).transpose(2, 1, 0).reshape(B, -1)
 
-    flat_k = idx.reshape(NUM_LISTS, -1)
-    cand_sig = jnp.take_along_axis(index_sig, flat_k, axis=1) \
-        .reshape(NUM_LISTS, 2 * B, K)
-    cand_comp = jnp.take_along_axis(index_comp, flat_k, axis=1) \
-        .reshape(NUM_LISTS, 2, B, K)
-    cand_rpos = jnp.take_along_axis(index_pos, flat_k, axis=1) \
-        .reshape(NUM_LISTS, 2, B, K)
+    begin_pm = to_probe_major(begin)                     # [B, 12]
+    count_pm = to_probe_major(count)
 
-    sig_eq = ((cand_sig == by_list[..., None]) & in_bounds) \
-        .reshape(NUM_LISTS, 2, B, K)
-
-    def to_probe_major(a):   # [6,2,B,K] -> [B, 12, K], probe = strand*6+list
-        return a.transpose(2, 1, 0, 3).reshape(B, 2 * NUM_LISTS, K)
-
-    cand_comp = to_probe_major(cand_comp)
-    cand_rpos = to_probe_major(cand_rpos)
-    sig_eq = to_probe_major(sig_eq)
-
-    seedk = pair_mismatch_count(cand_comp ^ probe_comp[:, :, None])
-
-    inv = (jnp.arange(2 * NUM_LISTS) >= NUM_LISTS)[None, :, None]  # [1,12,1]
-    # reverse-complement hits place the indexed seed at the END of the
-    # window: pos = rpos - restlen (RestMatch.hpp:84-89)
-    matchoffset = jnp.where(inv, restlen, 0).astype(jnp.int32)
-    pos = cand_rpos - matchoffset
-
-    cand_valid = (sig_eq
-                  & read_valid[:, None, None]
-                  & (cand_rpos != POS_SENTINEL)
-                  & (cand_rpos >= matchoffset)
-                  & (seedk <= seedkmax))
+    # lane validity purely from counts — no gathers
+    lane = jnp.arange(K, dtype=jnp.int32)
+    cand_valid = (lane[None, None, :] < count_pm[..., None]) \
+        & read_valid[:, None, None]                      # [B, 12, K]
 
     # ---- compaction to S survivors in merge order --------------------------
+    # (probe-major = list 0..5 straight then reverse,
+    # matchUniqueImplementation.cpp:416-488; lanes ascend in sorted-list
+    # order = ascending text position within an equal range)
     order = jnp.arange(2 * NUM_LISTS * K, dtype=jnp.int32).reshape(
         1, 2 * NUM_LISTS * K)
     fl_valid = cand_valid.reshape(B, -1)
     key = jnp.where(fl_valid, order, 2 * NUM_LISTS * K)
-    perm = jnp.argsort(key, axis=1, stable=True)[:, :S]
-
-    def compact(a):
-        return jnp.take_along_axis(a.reshape(B, -1), perm, axis=1)
+    perm = jnp.argsort(key, axis=1, stable=True)[:, :S]  # [B, S]
 
     overflow |= fl_valid.sum(axis=1) > S
 
-    s_valid = compact(fl_valid)
-    s_inv = compact(jnp.broadcast_to(inv, cand_valid.shape))
-    s_pos = compact(jnp.where(cand_valid, pos, 0))
-    s_seedk = compact(jnp.where(cand_valid, seedk, 0))
+    s_valid = jnp.take_along_axis(fl_valid, perm, axis=1)
+    s_probe = perm // K                                  # [B, S] probe id
+    s_lane = perm - s_probe * K
+    s_inv = s_probe >= NUM_LISTS
+    s_list = jnp.where(s_inv, s_probe - NUM_LISTS, s_probe)
+
+    # one (position, signature) gather pair per survivor lane; the sig
+    # equality drops bucket-mates so only exact equal-range members — the
+    # reference's candidates, in the reference's order — enter the fold
+    s_idx = jnp.take_along_axis(begin_pm, s_probe, axis=1) + s_lane
+    flat = s_list * M + jnp.clip(s_idx, 0, M - 1)
+    cand_rpos = jnp.take(index_pos.reshape(-1), flat)    # [B, S]
+    cand_sig = jnp.take(index_sig.reshape(-1), flat)
+    probe_of_lane = jnp.take_along_axis(probe_sig, s_probe, axis=1)
+    s_valid &= cand_sig == probe_of_lane
+
+    # reverse-complement hits place the indexed seed at the END of the
+    # window: pos = rpos - restlen (RestMatch.hpp:84-89)
+    matchoffset = jnp.where(s_inv, restlen, 0).astype(jnp.int32)
+    s_pos = cand_rpos - matchoffset
+    s_valid &= (cand_rpos != POS_SENTINEL) & (cand_rpos >= matchoffset)
 
     # ---- phase 2: text verification on the compacted [B, S] ---------------
     posc = jnp.maximum(s_pos, 0)
@@ -316,16 +331,22 @@ def find_survivors(
     s_valid &= is_dontcare_free(nbits, ncum, posc, patl)
 
     # full-window Hamming distance: XOR + 2-bit pair popcount, 16 bases per
-    # word (the RestMatch.hpp:39-81 loop, extended over the seed too)
+    # word (the RestMatch.hpp:39-81 loop, extended over the seed too);
+    # the seed-region-masked popcount reproduces the reference's seed
+    # check diffcountpair(s_b, list_b[ptr].sign) (match.hpp:386)
     tw = _extract_windows(words, posc, kw)       # list of kw [B, S] uint32
     masks = _tail_masks(patl, kw)
+    smask_s, smask_r = _seed_masks(patl, seedl, kw)
     patw = jnp.where(s_inv[..., None], words_r[:, None, :],
                      words_s[:, None, :])        # [B, S, KW]
-    totalk = jnp.zeros_like(s_seedk)
+    totalk = jnp.zeros(s_pos.shape, jnp.int32)
+    seedk = jnp.zeros(s_pos.shape, jnp.int32)
     for w in range(kw):
-        totalk = totalk + pair_mismatch_count(
-            (tw[w] ^ patw[..., w]) & jnp.uint32(masks[w]))
-    s_valid &= totalk <= totalkmax
+        x = (tw[w] ^ patw[..., w]) & jnp.uint32(masks[w])
+        totalk = totalk + pair_mismatch_count(x)
+        sm = jnp.where(s_inv, jnp.uint32(smask_r[w]), jnp.uint32(smask_s[w]))
+        seedk = seedk + pair_mismatch_count(x & sm)
+    s_valid &= (seedk <= seedkmax) & (totalk <= totalkmax)
 
     return Survivors(valid=s_valid, inv=s_inv, pos=s_pos, frag=s_frag,
                      k=totalk, score=jnp.zeros_like(s_pos, jnp.float32),
@@ -347,13 +368,107 @@ def _two_sum(a_hi, a_lo, b_hi, b_lo):
     return hi2, lo2
 
 
-def score_survivors(surv: Survivors, tw, codes, quals, prep: ScorePrep,
+def _two_sum_tree(hi, lo, axis: int):
+    """Tree reduction of (hi, lo) pairs with _two_sum along `axis`.
+
+    Double-double addition is associative to ~2^-90 relative error, so
+    the tree order is at least as accurate as the reference's sequential
+    f64 accumulation while being log-depth fully-vectorized (no
+    fori_loop serialisation on the VPU)."""
+    hi = jnp.moveaxis(hi, axis, -1)
+    lo = jnp.moveaxis(lo, axis, -1)
+    n = hi.shape[-1]
+    while n > 1:
+        half = n // 2
+        h2, l2 = _two_sum(hi[..., :half], lo[..., :half],
+                          hi[..., half:2 * half], lo[..., half:2 * half])
+        if n % 2:
+            h2 = jnp.concatenate([h2, hi[..., -1:]], axis=-1)
+            l2 = jnp.concatenate([l2, lo[..., -1:]], axis=-1)
+            n = half + 1
+        else:
+            n = half
+        hi, lo = h2, l2
+    return hi[..., 0], lo[..., 0]
+
+
+def _sel4(tbl, pat):
+    """Per-element select of a 4-entry python-float table by base code."""
+    v01 = jnp.where((pat & 1).astype(bool), jnp.float32(tbl[1]),
+                    jnp.float32(tbl[0]))
+    v23 = jnp.where((pat & 1).astype(bool), jnp.float32(tbl[3]),
+                    jnp.float32(tbl[2]))
+    return jnp.where((pat & 2).astype(bool), v23, v01)
+
+
+def _ff_product(x_hi, x_lo, x_hh, x_hl, y_hi, y_lo, y_hh, y_hl):
+    """(x_hi+x_lo)*(y_hi+y_lo) as a (hi, lo) f32 pair (Dekker splits)."""
+    p1 = x_hh * y_hh                                     # exact
+    p2 = x_hh * y_hl + x_hl * y_hh                       # exact terms
+    p3 = x_hl * y_hl                                     # exact
+    cross = x_hi * y_lo + x_lo * y_hi
+    small = (p3 + cross) + p2
+    return _two_sum(p1, jnp.float32(0.0), small, jnp.float32(0.0))
+
+
+def _score_prep_inline(codes, quals, tables):
+    """Per-batch rank-1 scoring precompute, traced inside the step.
+
+    The reference LUT factorizes (Scoring.cpp:170):
+        LL[ref, read, q] = log2(oddsRatio[ref][read]) * (1 - Q_PRB[q])
+    so a hit's score splits into a per-read part plus mismatch-only
+    deltas:
+        score = 1 + sum_i LL[read_i, read_i, q_i]        (base, per read)
+                  + sum_i (LL[ref_i, read_i, q_i]
+                           - LL[read_i, read_i, q_i])    (delta, per hit)
+    where the delta factor D[r] = (A[r,read_i] - A[read_i,read_i])*B[q_i]
+    depends only on (read base, quality, hypothesized ref base r). The
+    per-candidate scoring then only *selects* among four delta lanes by
+    the actual ref base — zero LUT gathers in the hot path.
+
+    Returns ((d4s_hi, d4s_lo), (d4r_hi, d4r_lo), (base_s), (base_r)):
+    [B, patl, 4] delta pairs per strand and [B] (hi, lo) base sums."""
+
+    def one_strand(pat, q):
+        y_hi = jnp.take(jnp.asarray(tables.b_hi), q)
+        y_lo = jnp.take(jnp.asarray(tables.b_lo), q)
+        y_hh = jnp.take(jnp.asarray(tables.b_hh), q)
+        y_hl = jnp.take(jnp.asarray(tables.b_hl), q)
+
+        d_his, d_los = [], []
+        for r in range(4):
+            p_hi, p_lo = _ff_product(
+                _sel4(tables.dm_hi[r], pat), _sel4(tables.dm_lo[r], pat),
+                _sel4(tables.dm_hh[r], pat), _sel4(tables.dm_hl[r], pat),
+                y_hi, y_lo, y_hh, y_hl)
+            d_his.append(p_hi)
+            d_los.append(p_lo)
+        d4_hi = jnp.stack(d_his, axis=-1)                    # [B, L, 4]
+        d4_lo = jnp.stack(d_los, axis=-1)
+
+        g_hi, g_lo = _ff_product(
+            _sel4(tables.ad_hi, pat), _sel4(tables.ad_lo, pat),
+            _sel4(tables.ad_hh, pat), _sel4(tables.ad_hl, pat),
+            y_hi, y_lo, y_hh, y_hl)                          # diag terms
+        base_hi, base_lo = _two_sum_tree(g_hi, g_lo, axis=1)
+        return d4_hi, d4_lo, base_hi, base_lo
+
+    pat_s = (codes & 3).astype(jnp.uint8)
+    pat_r = (jnp.uint8(3) - pat_s[:, ::-1])
+    q = jnp.clip(quals.astype(jnp.int32), 0, 63)
+    s = one_strand(pat_s, q)
+    r = one_strand(pat_r, q[:, ::-1])
+    return s, r
+
+
+def score_survivors(surv: Survivors, tw, codes, quals, tables,
                     *, score_mode: str) -> Survivors:
-    """score = f32(1.0 + sum_i LL[ref_i, read_i, q_i]) accumulated in base
-    order (ComputeScore.hpp:47-191). `score_mode`: 'f64' (CPU tests — exact
-    reference math, walks the LUT like the reference) or 'ff' (TPU — rank-1
-    factored base+delta decomposition, see ScorePrep; equal after f32
-    narrowing except within ~2^-40 of a rounding boundary)."""
+    """score = f32(1.0 + sum_i LL[ref_i, read_i, q_i])
+    (ComputeScore.hpp:47-191). `score_mode`: 'f64' (CPU tests — exact
+    reference math, walks the LUT like the reference) or 'ff' (TPU —
+    rank-1 factored base+delta decomposition with double-double tree
+    accumulation; equal after f32 narrowing except within ~2^-40 of a
+    rounding boundary)."""
     B, S = surv.pos.shape
     patl = codes.shape[1]
     kw = len(tw)
@@ -375,7 +490,8 @@ def score_survivors(surv: Survivors, tw, codes, quals, prep: ScorePrep,
         q = jnp.clip(q, 0, 63).astype(jnp.uint32)
         lut_idx = ((ref.astype(jnp.uint32) << 8) | (pat << 6) | q) \
             .astype(jnp.int32)
-        ll = prep.ll_hi.astype(jnp.float64) + prep.ll_lo.astype(jnp.float64)
+        ll = (jnp.asarray(tables.ll_hi).astype(jnp.float64)
+              + jnp.asarray(tables.ll_lo).astype(jnp.float64))
         contrib = jnp.take(ll, lut_idx)
 
         def body(i, acc):
@@ -385,35 +501,34 @@ def score_survivors(surv: Survivors, tw, codes, quals, prep: ScorePrep,
                               jnp.full((B, S), 1.0, jnp.float64))
         return surv._replace(score=total.astype(jnp.float32))
 
-    # ---- 'ff' mode: base + mismatch-delta with (hi, lo) accumulation ------
-    base_hi = jnp.where(surv.inv, prep.base_r_hi[:, None],
-                        prep.base_s_hi[:, None])
-    base_lo = jnp.where(surv.inv, prep.base_r_lo[:, None],
-                        prep.base_s_lo[:, None])
+    # ---- 'ff' mode: base + mismatch-delta, double-double tree reduce -----
+    (d4s_hi, d4s_lo, bs_hi, bs_lo), (d4r_hi, d4r_lo, br_hi, br_lo) = \
+        _score_prep_inline(codes, quals, tables)
+
+    inv = surv.inv                                            # [B, S]
+    r1 = (ref & 1).astype(bool)                               # [B, S, patl]
+    r2 = (ref & 2).astype(bool)
+
+    def sel_base(d):
+        """Select delta lane by ref base: d [B, patl, 4] broadcast over S
+        -> [B, S, patl] (each where fuses the [B,1,patl] broadcast; the
+        4-lane array is never materialized at [B,S,patl,4])."""
+        lohalf = jnp.where(r1, d[:, None, :, 1], d[:, None, :, 0])
+        hihalf = jnp.where(r1, d[:, None, :, 3], d[:, None, :, 2])
+        return jnp.where(r2, hihalf, lohalf)
+
+    def sel(d_s, d_r):
+        return jnp.where(inv[..., None], sel_base(d_r), sel_base(d_s))
+
+    dh = sel(d4s_hi, d4r_hi)
+    dl = sel(d4s_lo, d4r_lo)
+    sum_hi, sum_lo = _two_sum_tree(dh, dl, axis=2)            # [B, S]
+
+    base_hi = jnp.where(inv, br_hi[:, None], bs_hi[:, None])
+    base_lo = jnp.where(inv, br_lo[:, None], bs_lo[:, None])
     s_hi, s_lo = _two_sum(jnp.float32(1.0), jnp.float32(0.0),
                           base_hi, base_lo)
-    inv = surv.inv
-
-    def body(i, acc):
-        a_hi, a_lo = acc
-        r = lax.dynamic_index_in_dim(ref, i, axis=2, keepdims=False)
-        d_s_hi = lax.dynamic_index_in_dim(prep.d4s_hi, i, 1, keepdims=False)
-        d_s_lo = lax.dynamic_index_in_dim(prep.d4s_lo, i, 1, keepdims=False)
-        d_r_hi = lax.dynamic_index_in_dim(prep.d4r_hi, i, 1, keepdims=False)
-        d_r_lo = lax.dynamic_index_in_dim(prep.d4r_lo, i, 1, keepdims=False)
-        dh = jnp.where(inv[..., None], d_r_hi[:, None, :],
-                       d_s_hi[:, None, :])                           # [B,S,4]
-        dl = jnp.where(inv[..., None], d_r_lo[:, None, :],
-                       d_s_lo[:, None, :])
-
-        def sel(d):   # select delta lane by ref base: [B,S,4] -> [B,S]
-            lohalf = jnp.where((r & 1).astype(bool), d[..., 1], d[..., 0])
-            hihalf = jnp.where((r & 1).astype(bool), d[..., 3], d[..., 2])
-            return jnp.where((r & 2).astype(bool), hihalf, lohalf)
-
-        return _two_sum(a_hi, a_lo, sel(dh), sel(dl))
-
-    s_hi, s_lo = lax.fori_loop(0, patl, body, (s_hi, s_lo))
+    s_hi, s_lo = _two_sum(s_hi, s_lo, sum_hi, sum_lo)
     return surv._replace(score=s_hi + s_lo)
 
 
@@ -471,28 +586,32 @@ def fold_unique(state: MatchState, surv: Survivors, fileid,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("seedl", "seedkmax", "totalkmax", "cand_cap",
-                     "survivor_cap", "scores", "score_mode", "matchall"))
-def match_step(index_sig, index_comp, index_pos, index_bb,
+    static_argnames=("tables", "seedl", "seedkmax", "totalkmax", "cand_cap",
+                     "survivor_cap", "scores", "score_mode", "matchall",
+                     "bsearch_steps"))
+def match_step(index_sig, index_pos, index_bb,
                words, nbits, ncum, frag_offsets,
                codes, quals, read_valid,
                state: MatchState, fileid, epsilon,
-               prep: ScorePrep,
-               *, seedl: int, seedkmax: int, totalkmax: int,
+               *, tables=None, seedl: int, seedkmax: int, totalkmax: int,
                cand_cap: int, survivor_cap: int,
-               scores: bool, score_mode: str, matchall: bool):
+               scores: bool, score_mode: str, matchall: bool,
+               bsearch_steps: int = 0):
     """One (read batch x index shard) step. Returns (new_state, survivors).
 
+    `tables` is the static ScoreTables constant set (scoring/scoring.py),
+    baked into the compiled program; None when scores=False.
     matchall=True skips the automaton (hits go to the host for dedup +
     printing, matchAllImplementation.cpp:99-185)."""
     surv, tw = find_survivors(
-        index_sig, index_comp, index_pos, index_bb,
+        index_sig, index_pos, index_bb,
         words, nbits, ncum, frag_offsets,
         codes, quals, read_valid,
         seedl=seedl, seedkmax=seedkmax, totalkmax=totalkmax,
-        cand_cap=cand_cap, survivor_cap=survivor_cap)
+        cand_cap=cand_cap, survivor_cap=survivor_cap,
+        bsearch_steps=bsearch_steps)
     if scores:
-        surv = score_survivors(surv, tw, codes, quals, prep,
+        surv = score_survivors(surv, tw, codes, quals, tables,
                                score_mode=score_mode)
     if matchall:
         return state, surv

@@ -47,9 +47,13 @@ SIG_SENTINEL = jnp.uint32(0xFFFFFFFF)
 
 @dataclasses.dataclass
 class SignatureIndex:
-    """Six sorted pair-signature lists over one text block/shard."""
+    """Six sorted pair-signature lists over one text block/shard.
+
+    No complementary-pair array: the matcher derives the seed error count
+    from the text window itself (engine/matchstep.py find_survivors), so
+    the index is (sig, pos) only — 48 B/window vs the reference's
+    cross-linked Mask records (Mask.hpp:36-40)."""
     sig: jnp.ndarray    # uint32 [6, M] sorted (primary key)
-    comp: jnp.ndarray   # uint32 [6, M] complementary pair signature
     pos: jnp.ndarray    # int32  [6, M] window position (sentinel if invalid)
     bb: jnp.ndarray     # int32  [6, 2^bucket_bits + 1] bucket begin table
     seedl: int
@@ -118,12 +122,10 @@ def build_lists_impl(words: jnp.ndarray, nbits: jnp.ndarray,
     # XLA sort op keeps compile time flat vs six separate sorts
     keys = jnp.stack([jnp.where(valid, sigs[j], SIG_SENTINEL)
                       for j in range(NUM_LISTS)])
-    comps = jnp.stack([sigs[NUM_LISTS - 1 - j] for j in range(NUM_LISTS)])
     poss = jnp.broadcast_to(spos, (NUM_LISTS, num_windows))
     # stable ascending (sig, pos): reference lists are stable radix sorted,
     # so equal signatures keep ascending text position
-    skey, sp, scomp = lax.sort((keys, poss, comps), num_keys=2,
-                               dimension=1)
+    skey, sp = lax.sort((keys, poss), num_keys=2, dimension=1)
 
     # bucket-begin tables (getLookupTable.hpp:26-51): one histogram over the
     # top bucket_bits of each list, sentinels excluded, then exclusive scan
@@ -137,7 +139,7 @@ def build_lists_impl(words: jnp.ndarray, nbits: jnp.ndarray,
     bb = jnp.concatenate(
         [jnp.zeros((NUM_LISTS, 1), jnp.int32),
          jnp.cumsum(counts, axis=1, dtype=jnp.int32)], axis=1)
-    return skey, scomp, sp, bb
+    return skey, sp, bb
 
 
 _build_lists = jax.jit(build_lists_impl,
@@ -164,7 +166,7 @@ def build_index(text: PackedText, seedl: int,
     if num_windows is None:
         num_windows = total - start
     assert start % 16 == 0, "shard starts must be 16-aligned"
-    sig, comp, pos, bb = _build_lists(
+    sig, pos, bb = _build_lists(
         text.words, text.nbits, text.ncum,
         jnp.int32(start), int(num_windows), seedl, jnp.int32(text.n))
-    return SignatureIndex(sig=sig, comp=comp, pos=pos, bb=bb, seedl=seedl)
+    return SignatureIndex(sig=sig, pos=pos, bb=bb, seedl=seedl)

@@ -50,7 +50,7 @@ def _round16(x: int) -> int:
 def build_lists_host(words: np.ndarray, nbits: np.ndarray, ncum: np.ndarray,
                      n: int, seedl: int, start: int = 0,
                      num_windows: int | None = None):
-    """Returns (sig, comp, pos, bb) arrays: [6, M] lists + [6, NB+1]
+    """Returns (sig, pos, bb) arrays: [6, M] lists + [6, NB+1]
     bucket-begin tables (getLookupTable.hpp:26-51)."""
     sc = SigConfig(seedl)
     sc.validate()
@@ -71,7 +71,6 @@ def build_lists_host(words: np.ndarray, nbits: np.ndarray, ncum: np.ndarray,
     pos32 = np.where(valid, pos, POS_SENTINEL).astype(np.int32)
 
     sig_out = np.empty((NUM_LISTS, num_windows), np.uint32)
-    comp_out = np.empty((NUM_LISTS, num_windows), np.uint32)
     pos_out = np.empty((NUM_LISTS, num_windows), np.int32)
     for j in range(NUM_LISTS):
         key = np.where(valid, sigs[j], SIG_SENTINEL)
@@ -82,7 +81,6 @@ def build_lists_host(words: np.ndarray, nbits: np.ndarray, ncum: np.ndarray,
             | pos32.astype(np.uint64)
         order = np.argsort(composite, kind="stable")
         sig_out[j] = key[order]
-        comp_out[j] = sigs[NUM_LISTS - 1 - j][order]
         pos_out[j] = pos32[order]
 
     nb = 1 << sc.bucket_bits
@@ -91,7 +89,7 @@ def build_lists_host(words: np.ndarray, nbits: np.ndarray, ncum: np.ndarray,
         live = pos_out[j] != POS_SENTINEL
         h = (sig_out[j][live] >> np.uint32(sc.bucket_shift)).astype(np.int64)
         bb[j, 1:] = np.cumsum(np.bincount(h, minlength=nb)).astype(np.int32)
-    return sig_out, comp_out, pos_out, bb
+    return sig_out, pos_out, bb
 
 
 def build_index_host(text, seedl: int, start: int = 0,
@@ -104,8 +102,8 @@ def build_index_host(text, seedl: int, start: int = 0,
     words = np.asarray(text.words)
     nbits = np.asarray(text.nbits)
     ncum = np.asarray(text.ncum)
-    sig, comp, pos, bb = build_lists_host(words, nbits, ncum, text.n, seedl,
-                                          start, num_windows)
-    return SignatureIndex(sig=jnp.asarray(sig), comp=jnp.asarray(comp),
+    sig, pos, bb = build_lists_host(words, nbits, ncum, text.n, seedl,
+                                    start, num_windows)
+    return SignatureIndex(sig=jnp.asarray(sig),
                           pos=jnp.asarray(pos), bb=jnp.asarray(bb),
                           seedl=seedl)

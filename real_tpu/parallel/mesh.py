@@ -33,7 +33,7 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from real_tpu.engine.matchstep import (MatchState, ScorePrep, Survivors,
+from real_tpu.engine.matchstep import (MatchState, Survivors,
                                        find_survivors, fold_unique,
                                        score_survivors)
 from real_tpu.index.signatures import NUM_LISTS
@@ -47,73 +47,73 @@ def make_mesh(n_dp: int, n_shard: int, devices=None) -> Mesh:
     return Mesh(dev, ("dp", "shard"))
 
 
-def _prep_specs(prep: ScorePrep):
-    """PartitionSpecs for ScorePrep: batch-major arrays follow 'dp', the
-    LUT tables are replicated."""
-    return ScorePrep(
-        d4s_hi=P("dp"), d4s_lo=P("dp"), d4r_hi=P("dp"), d4r_lo=P("dp"),
-        base_s_hi=P("dp"), base_s_lo=P("dp"),
-        base_r_hi=P("dp"), base_r_lo=P("dp"),
-        ll_hi=P(), ll_lo=P())
-
-
 @functools.partial(jax.jit,
-                   static_argnames=("seedl", "num_windows", "mesh"))
-def build_sharded_index(words, nbits, ncum, n, *, seedl: int,
-                        num_windows: int, mesh: Mesh):
+                   static_argnames=("seedl", "num_windows", "per_shard",
+                                    "mesh"))
+def build_sharded_index(words, nbits, ncum, n, start=0, *, seedl: int,
+                        num_windows: int = 0, per_shard: int = 0,
+                        mesh: Mesh):
     """Build [n_shard, 6, M_s] index arrays, shard s covering windows
-    [s*M_s, (s+1)*M_s). Each device sorts only its own shard's lists."""
+    [start + s*M_s, start + (s+1)*M_s). Each device sorts only its own
+    shard's lists. Pass either per_shard directly (multi-pass driver:
+    one pass covers n_shard*per_shard windows from `start`) or
+    num_windows (single pass over the whole range, per_shard derived).
+    start and per_shard must be 16-aligned."""
     from real_tpu.index.hostbuild import _round16
     n_shard = mesh.shape["shard"]
-    per = _round16(-(-num_windows // n_shard))
+    per = per_shard or _round16(-(-num_windows // n_shard))
 
-    def local_build(words, nbits, ncum, n):
+    def local_build(words, nbits, ncum, n, start):
         from real_tpu.index.build import build_lists_impl
         s = lax.axis_index("shard")
-        sig, comp, pos, bb = build_lists_impl(
-            words, nbits, ncum, (s * per).astype(jnp.int32), per, seedl, n)
-        return sig[None], comp[None], pos[None], bb[None]
+        sig, pos, bb = build_lists_impl(
+            words, nbits, ncum, start + (s * per).astype(jnp.int32), per,
+            seedl, n)
+        return sig[None], pos[None], bb[None]
 
     fn = jax.shard_map(
         local_build, mesh=mesh,
-        in_specs=(P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P()),
         out_specs=P("shard"))
-    return fn(words, nbits, ncum, n)
+    return fn(words, nbits, ncum, n, jnp.int32(start))
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("seedl", "seedkmax", "totalkmax", "cand_cap",
-                     "survivor_cap", "scores", "score_mode", "mesh"))
-def sharded_match_step(index_sig, index_comp, index_pos, index_bb,
+    static_argnames=("tables", "seedl", "seedkmax", "totalkmax", "cand_cap",
+                     "survivor_cap", "scores", "score_mode", "mesh",
+                     "bsearch_steps", "matchall"))
+def sharded_match_step(index_sig, index_pos, index_bb,
                        words, nbits, ncum, frag_offsets,     # replicated
                        codes, quals, read_valid,             # [B,...] dp
                        state: MatchState, fileid, epsilon,
-                       prep: ScorePrep,
-                       *, seedl: int, seedkmax: int, totalkmax: int,
-                       cand_cap: int, survivor_cap: int,
-                       scores: bool, score_mode: str, mesh: Mesh):
+                       *, tables=None, seedl: int, seedkmax: int,
+                       totalkmax: int, cand_cap: int, survivor_cap: int,
+                       scores: bool, score_mode: str, mesh: Mesh,
+                       bsearch_steps: int = 0, matchall: bool = False):
     """One full step over the mesh: every (dp, shard) device verifies its
     read slice against its index shard; survivors are all-gathered over
-    'shard' and folded in shard-major (= reference block-major) order."""
+    'shard' and folded in shard-major (= reference block-major) order.
 
-    def local_step(sig, comp, pos, bb, words, nbits, ncum, frag_offsets,
-                   codes, quals, read_valid, state, fileid, epsilon,
-                   prep):
-        sig, comp, pos, bb = sig[0], comp[0], pos[0], bb[0]  # drop shard dim
+    Returns (new_state, overflow [B]) for matchUnique, or
+    (state, Survivors [B, n_shard*S] shard-major) for matchall=True."""
+
+    def local_step(sig, pos, bb, words, nbits, ncum, frag_offsets,
+                   codes, quals, read_valid, state, fileid, epsilon):
+        sig, pos, bb = sig[0], pos[0], bb[0]   # drop the shard dim
         surv, tw = find_survivors(
-            sig, comp, pos, bb, words, nbits, ncum, frag_offsets,
+            sig, pos, bb, words, nbits, ncum, frag_offsets,
             codes, quals, read_valid,
             seedl=seedl, seedkmax=seedkmax, totalkmax=totalkmax,
-            cand_cap=cand_cap, survivor_cap=survivor_cap)
+            cand_cap=cand_cap, survivor_cap=survivor_cap,
+            bsearch_steps=bsearch_steps)
         if scores:
-            surv = score_survivors(surv, tw, codes, quals, prep,
+            surv = score_survivors(surv, tw, codes, quals, tables,
                                    score_mode=score_mode)
         # gather survivors over the shard axis: [n_shard, B_loc, S]
         gathered = jax.tree.map(
             lambda a: lax.all_gather(a, "shard", axis=0, tiled=False),
             surv)
-        nsh = gathered.valid.shape[0]
 
         def shard_major(a):   # [n_shard, B, S] -> [B, n_shard*S]
             return jnp.swapaxes(a, 0, 1).reshape(a.shape[1], -1)
@@ -127,19 +127,21 @@ def sharded_match_step(index_sig, index_comp, index_pos, index_bb,
             score=shard_major(gathered.score),
             overflow=gathered.overflow.any(axis=0),
         )
+        if matchall:
+            return state, seq
         new_state = fold_unique(state, seq, fileid, epsilon, scores=scores)
         return new_state, seq.overflow
 
+    out_spec = (Survivors(*([P("dp")] * 7)) if matchall else P("dp"))
     fn = jax.shard_map(
         local_step, mesh=mesh,
-        in_specs=(P("shard"), P("shard"), P("shard"), P("shard"),
+        in_specs=(P("shard"), P("shard"), P("shard"),
                   P(), P(), P(), P(),
                   P("dp"), P("dp"), P("dp"),
                   jax.tree.map(lambda _: P("dp"), state),
-                  P(), P(),
-                  _prep_specs(prep)),
-        out_specs=(jax.tree.map(lambda _: P("dp"), state), P("dp")),
+                  P(), P()),
+        out_specs=(jax.tree.map(lambda _: P("dp"), state), out_spec),
         check_vma=False)
-    return fn(index_sig, index_comp, index_pos, index_bb, words, nbits,
+    return fn(index_sig, index_pos, index_bb, words, nbits,
               ncum, frag_offsets, codes, quals, read_valid, state,
-              jnp.int32(fileid), jnp.float32(epsilon), prep)
+              jnp.int32(fileid), jnp.float32(epsilon))

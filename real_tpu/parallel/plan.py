@@ -1,0 +1,73 @@
+"""Memory-bounded execution planning.
+
+TPU equivalent of the reference's RAM-budget block sizing
+(matchUniqueImplementation.cpp:1208-1244, getPhysicalMemory.cpp): the
+`-f` fracmem fraction of per-device HBM bounds how many index windows
+one device may hold, which determines the number of index shards; shards
+beyond the mesh's shard axis are processed in sequential passes (the
+reference's "build block, re-stream all reads" outer loop,
+:1253-1297).
+
+Index cost model per window (index/build.py SignatureIndex):
+  sig + pos = 8 bytes x 6 lists = 48 B, plus a transient build factor
+  for lax.sort's out-of-place temporaries; bucket tables are a fixed
+  6 x (2^22+1) x 4 B ~ 100 MB.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import jax
+
+BYTES_PER_WINDOW = 6 * 8
+BUILD_FACTOR = 3.0        # sort temporaries + double-buffered lists
+BUCKET_TABLE_BYTES = 6 * ((1 << 22) + 1) * 4
+_DEFAULT_HBM = 16 * 1024**3   # v5e per-chip HBM; fallback when unprobeable
+
+
+def hbm_bytes_per_device() -> int:
+    """Per-device memory budget. TPU: memory_stats()['bytes_limit'];
+    CPU (virtual devices in tests): host RAM split across devices —
+    the moral equivalent of getPhysicalMemory.cpp:34-87."""
+    devs = jax.local_devices()
+    try:
+        stats = devs[0].memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return int(stats["bytes_limit"])
+    except Exception:
+        pass
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    kb = int(line.split()[1])
+                    return kb * 1024 // max(len(devs), 1)
+    except OSError:
+        pass
+    return _DEFAULT_HBM
+
+
+def plan_index_shards(num_windows: int, fracmem: float,
+                      reserved_bytes: int = 0,
+                      hbm_bytes: int | None = None) -> int:
+    """Number of index shards so one shard's lists (plus build
+    temporaries) fit the fracmem budget of one device."""
+    hbm = hbm_bytes if hbm_bytes is not None else hbm_bytes_per_device()
+    budget = fracmem * hbm - BUCKET_TABLE_BYTES - reserved_bytes
+    if budget <= 0:
+        budget = 0.25 * hbm
+    per_shard_cost = BYTES_PER_WINDOW * BUILD_FACTOR
+    return max(1, math.ceil(num_windows * per_shard_cost / budget))
+
+
+def choose_mesh_shape(n_devices: int, total_shards: int):
+    """(n_dp, n_shard): the shard axis is the largest divisor of
+    n_devices that is <= total_shards (so no shard device idles); the
+    rest is read data-parallelism."""
+    n_shard = 1
+    for d in range(1, n_devices + 1):
+        if n_devices % d == 0 and d <= total_shards:
+            n_shard = d
+    return n_devices // n_shard, n_shard

@@ -111,111 +111,49 @@ def _dekker_split(x: np.ndarray):
     return hh, hl
 
 
-_PREP_CACHE = {}
+class ScoreTables:
+    """Constant scoring tables shipped into the match step (~1.3 KB).
+
+    Replaces the old per-batch ScorePrep host precompute: the [B, patl, 4]
+    delta arrays are now derived from these tables INSIDE the jitted step
+    (engine/matchstep.py:_score_prep_inline), so nothing batch-sized is
+    held across steps (the reference equivalently recomputes per pattern,
+    ComputeScore.hpp:47-191).
+
+    The rank-1 LUT structure LL[r,p,q] = A[r][p] * B[q] (Scoring.cpp:170,
+    A = log2(oddsRatio), B = 1 - Q_PRB) is stored as (hi, lo) f32 splits
+    of the f64 factors plus Dekker 12-bit splits of the hi parts, so
+    products can be formed to ~2^-45 relative accuracy on a TPU that has
+    no native f64."""
+
+    def __init__(self, scoring: "Scoring") -> None:
+        log2 = math.log(2.0)
+        A = np.log(scoring.odds_ratio) / log2                # f64 [4,4]
+        dm = A - np.diag(A)[None, :]                         # A[r,p]-A[p,p]
+        self.dm_hi, self.dm_lo = _split_pair(dm)
+        self.dm_hh, self.dm_hl = _dekker_split(self.dm_hi)
+        self.ad_hi, self.ad_lo = _split_pair(np.diag(A).copy())
+        self.ad_hh, self.ad_hl = _dekker_split(self.ad_hi)
+        Bq = 1.0 - q_prb()[:64]                              # f64 [64]
+        self.b_hi, self.b_lo = _split_pair(Bq)
+        self.b_hh, self.b_hl = _dekker_split(self.b_hi)
+        self.ll_hi, self.ll_lo = scoring.ll_f32_pair()
+        # hashable (static jit arg): tables are baked into the compiled
+        # step as XLA constants; one compile per scoring-parameter set
+        self._key = scoring.odds_ratio.tobytes()
+
+    def __hash__(self) -> int:
+        return hash(self._key)
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, ScoreTables) and self._key == other._key
 
 
-def make_score_prep(scoring: Scoring):
-    """Build the jitted per-batch scoring precompute (ScorePrep).
+_TABLE_CACHE = {}
 
-    Cached per scoring-parameter set so repeated runs reuse the same jit
-    object (and its compilation cache entries).
 
-    Exploits the rank-1 LUT structure LL[r,p,q] = A[r][p] * B[q]
-    (Scoring.cpp:170, A = log2(oddsRatio), B = 1 - Q_PRB): precomputes, per
-    read and base position, the four mismatch deltas
-        D[r] = (A[r, pat_i] - A[pat_i, pat_i]) * B[q_i]
-    and the per-read base score sum_i A[pat_i,pat_i] * B[q_i], for both
-    orientations, as (hi, lo) f32 pairs with Dekker-split products (~2^-36
-    relative accuracy per term vs the reference's f64). The per-candidate
-    scoring loop (engine/matchstep.py:score_survivors) then needs no table
-    gathers at all."""
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
-
-    from real_tpu.engine.matchstep import ScorePrep, _two_sum
-
+def score_tables(scoring: Scoring) -> ScoreTables:
     key = scoring.odds_ratio.tobytes()
-    if key in _PREP_CACHE:
-        return _PREP_CACHE[key]
-
-    log2 = math.log(2.0)
-    A = np.log(scoring.odds_ratio) / log2                    # f64 [4,4]
-    dm = A - np.diag(A)[None, :]                             # A[r,p]-A[p,p]
-    dm_hi, dm_lo = _split_pair(dm)
-    dm_hh, dm_hl = _dekker_split(dm_hi)
-    ad_hi, ad_lo = _split_pair(np.diag(A).copy())
-    ad_hh, ad_hl = _dekker_split(ad_hi)
-    Bq = 1.0 - q_prb()[:64]                                  # f64 [64]
-    b_hi, b_lo = _split_pair(Bq)
-    b_hh, b_hl = _dekker_split(b_hi)
-    ll_hi, ll_lo = scoring.ll_f32_pair()
-
-    def product(x_hi, x_lo, x_hh, x_hl, y_hi, y_lo, y_hh, y_hl):
-        """(x_hi+x_lo)*(y_hi+y_lo) as a (hi, lo) f32 pair."""
-        p1 = x_hh * y_hh                                     # exact
-        p2 = x_hh * y_hl + x_hl * y_hh                       # exact terms
-        p3 = x_hl * y_hl                                     # exact
-        cross = x_hi * y_lo + x_lo * y_hi
-        small = (p3 + cross) + p2
-        return _two_sum(p1, jnp.float32(0.0), small, jnp.float32(0.0))
-
-    def sel4(tbl, pat):
-        """tbl: python-float [4] -> per-element select on base codes."""
-        v01 = jnp.where((pat & 1).astype(bool), jnp.float32(tbl[1]),
-                        jnp.float32(tbl[0]))
-        v23 = jnp.where((pat & 1).astype(bool), jnp.float32(tbl[3]),
-                        jnp.float32(tbl[2]))
-        return jnp.where((pat & 2).astype(bool), v23, v01)
-
-    def one_strand(pat, q):
-        """pat [B,L] u8 codes, q [B,L] int -> (d4_hi, d4_lo, base_hi/lo)."""
-        y_hi = jnp.take(jnp.asarray(b_hi), q)
-        y_lo = jnp.take(jnp.asarray(b_lo), q)
-        y_hh = jnp.take(jnp.asarray(b_hh), q)
-        y_hl = jnp.take(jnp.asarray(b_hl), q)
-
-        d_his, d_los = [], []
-        for r in range(4):
-            x_hi = sel4(dm_hi[r], pat)
-            x_lo = sel4(dm_lo[r], pat)
-            x_hh = sel4(dm_hh[r], pat)
-            x_hl = sel4(dm_hl[r], pat)
-            p_hi, p_lo = product(x_hi, x_lo, x_hh, x_hl,
-                                 y_hi, y_lo, y_hh, y_hl)
-            d_his.append(p_hi)
-            d_los.append(p_lo)
-        d4_hi = jnp.stack(d_his, axis=-1)                    # [B, L, 4]
-        d4_lo = jnp.stack(d_los, axis=-1)
-
-        g_hi, g_lo = product(sel4(ad_hi, pat), sel4(ad_lo, pat),
-                             sel4(ad_hh, pat), sel4(ad_hl, pat),
-                             y_hi, y_lo, y_hh, y_hl)         # diag terms
-
-        patl = pat.shape[1]
-
-        def body(i, acc):
-            return _two_sum(acc[0], acc[1],
-                            lax.dynamic_index_in_dim(g_hi, i, 1, False),
-                            lax.dynamic_index_in_dim(g_lo, i, 1, False))
-        base_hi, base_lo = lax.fori_loop(
-            0, patl, body,
-            (jnp.zeros(pat.shape[0], jnp.float32),
-             jnp.zeros(pat.shape[0], jnp.float32)))
-        return d4_hi, d4_lo, base_hi, base_lo
-
-    @jax.jit
-    def score_prep(codes, quals):
-        pat_s = (codes & 3).astype(jnp.uint8)
-        pat_r = (jnp.uint8(3) - pat_s[:, ::-1])
-        q = jnp.clip(quals.astype(jnp.int32), 0, 63)
-        d4s_hi, d4s_lo, bs_hi, bs_lo = one_strand(pat_s, q)
-        d4r_hi, d4r_lo, br_hi, br_lo = one_strand(pat_r, q[:, ::-1])
-        return ScorePrep(
-            d4s_hi=d4s_hi, d4s_lo=d4s_lo, d4r_hi=d4r_hi, d4r_lo=d4r_lo,
-            base_s_hi=bs_hi, base_s_lo=bs_lo,
-            base_r_hi=br_hi, base_r_lo=br_lo,
-            ll_hi=jnp.asarray(ll_hi), ll_lo=jnp.asarray(ll_lo))
-
-    _PREP_CACHE[key] = score_prep
-    return score_prep
+    if key not in _TABLE_CACHE:
+        _TABLE_CACHE[key] = ScoreTables(scoring)
+    return _TABLE_CACHE[key]

@@ -38,12 +38,12 @@ def run_reference(ref_real, genome, reads, out, extra_args=()):
 
 def run_ours(genome, reads, *, unique=True, scores=True, seedkmax=2,
              totalkmax=5, seedl=32, index_shards=1, batch_size=512,
-             filter_level=2):
+             filter_level=2, use_mesh=None):
     cfg = RealConfig(textfilename=genome, patternfilename=reads,
                      outputfilename="-", match_unique=unique, scores=scores,
                      seedkmax=seedkmax, totalkmax=totalkmax, seedl=seedl,
                      index_shards=index_shards, batch_size=batch_size,
-                     filter_level=filter_level)
+                     filter_level=filter_level, use_mesh=use_mesh)
     rs = reads_io.parse_reads(reads)
     cfg.fastq = rs.fastq
     texts = driver.load_texts(cfg)

@@ -74,6 +74,40 @@ def test_unique_multifragment(ref_real, tmp_path):
     assert ours == ref
 
 
+@pytest.mark.parametrize("scores", [False, True])
+@pytest.mark.parametrize("shards,use_mesh", [(4, True), (4, False),
+                                             (1, False)])
+def test_unique_driver_paths(ref_real, tmp_path, scores, shards, use_mesh):
+    """The driver's mesh path (dp x shard over the 8 virtual devices) and
+    the forced-sequential path must BOTH be byte-identical to the
+    reference, including with a real shard axis (index_shards=4)."""
+    genome, reads = ab_util.make_inputs(tmp_path, n=24000, numpat=250,
+                                        patlen=90, errprob=0.02, seed=23)
+    ref = ab_util.run_reference(
+        ref_real, genome, reads, str(tmp_path / "ref.out"),
+        ab_util.ref_flags(scores=scores))
+    ours = ab_util.run_ours(genome, reads, scores=scores,
+                            index_shards=shards, use_mesh=use_mesh)
+    assert ours == ref
+
+
+def test_matchall_driver_sharded(ref_real, tmp_path):
+    """matchAll through the mesh driver with a shard axis: same record
+    set as the single-shard sequential run, and superset of the
+    reference."""
+    genome, reads = ab_util.make_inputs(tmp_path, n=24000, numpat=150,
+                                        patlen=60, errprob=0.02, seed=29)
+    a = ab_util.run_ours(genome, reads, unique=False, index_shards=4,
+                         use_mesh=True)
+    b = ab_util.run_ours(genome, reads, unique=False, index_shards=1,
+                         use_mesh=False)
+    assert ab_util.as_record_set(a) == ab_util.as_record_set(b)
+    ref = ab_util.run_reference(
+        ref_real, genome, reads, str(tmp_path / "ref.out"),
+        ab_util.ref_flags(unique=False))
+    assert set(ab_util.as_record_set(ref)) <= set(ab_util.as_record_set(a))
+
+
 # NOTE: the reference's matchAll output path buffers records in a 16KB
 # thread-local ostringstream that is only written once it EXCEEDS 16384
 # bytes and is never flushed at the end
