@@ -7,7 +7,7 @@ reference binary:
            [-l seedl] [-u 0|1] [-q 0|1] [-Q offset] [-f fracmem] [-T threads]
            [-m sortthreads] [-R 0|1] [-g 0|1]
            [-similarity x] [-err x] [-trans x] [-gc x] [-gcmut_bias x]
-           [-filter_level 0..4]
+           [-filter_level 0..4] [-v 0|1 (progress + phase timers)]
 """
 
 from __future__ import annotations
@@ -36,7 +36,7 @@ def parse_args(argv: List[str]) -> RealConfig:
         "-S": ("survivor_cap", int), "-shards": ("index_shards", int),
     }
     bool_flags = {"-u": "match_unique", "-q": "scores",
-                  "-R": "rewritepatterns", "-g": "gaps"}
+                  "-R": "rewritepatterns", "-g": "gaps", "-v": "verbose"}
     while i < len(argv):
         a = argv[i]
         if a in flags_with_arg:

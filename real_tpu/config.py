@@ -53,6 +53,10 @@ class RealConfig:
     use_mesh: object = None           # None = auto (mesh when devices > 1);
                                       # True/False force the mesh/sequential
                                       # driver path (tests cover both)
+    verbose: bool = False             # -v: stderr progress (reference prints
+                                      # processed/numpat fractions,
+                                      # matchUniqueImplementation.cpp:1292)
+                                      # + per-phase timers
 
     filter_mult: float = dataclasses.field(init=False, default=0.0)
 

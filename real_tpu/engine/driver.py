@@ -157,30 +157,73 @@ def _text_usable(cfg: RealConfig, tf: TextFile, verbose: bool) -> bool:
     return True
 
 
+class _Progress:
+    """stderr progress + per-phase timers (SURVEY §5.1/§5.5; the reference
+    prints processed/numpat fractions and per-block sort/match timings,
+    matchUniqueImplementation.cpp:1292, ListSetBlockReader.hpp:40-48)."""
+
+    def __init__(self, enabled: bool):
+        import time
+        self.enabled = enabled
+        self.t0 = time.perf_counter()
+        self.phase_s: Dict[str, float] = {}
+
+    def event(self, msg: str) -> None:
+        if self.enabled:
+            import time
+            print(f"[{time.perf_counter() - self.t0:8.2f}s] {msg}",
+                  file=sys.stderr, flush=True)
+
+    def phase(self, name: str):
+        import contextlib
+        import time
+
+        @contextlib.contextmanager
+        def cm():
+            t = time.perf_counter()
+            yield
+            dt = time.perf_counter() - t
+            self.phase_s[name] = self.phase_s.get(name, 0.0) + dt
+        return cm()
+
+    def summary(self) -> None:
+        if self.enabled and self.phase_s:
+            parts = " ".join(f"{k}={v:.2f}s"
+                             for k, v in sorted(self.phase_s.items()))
+            print(f"phase timers: {parts}", file=sys.stderr, flush=True)
+
+
 def _foreach_shard_seq(cfg: RealConfig, texts: List[TextFile], cand_cap,
-                       visit):
+                       visit, prog: Optional["_Progress"] = None):
     """Sequential (1-device) outer loop: for each text file and index
     shard, call visit(fi, text, index, bsearch_steps)."""
+    prog = prog or _Progress(cfg.verbose)
     for fi, tf in enumerate(texts):
         if not _text_usable(cfg, tf, verbose=True):
             continue
         text = tf.packed
         num_windows = text.n - cfg.seedl + 1
         shards = _plan_shards(cfg, text)
-        for (s, e) in _shard_bounds(num_windows, shards):
-            index = _build(cfg, text, start=s, num_windows=e - s)
-            steps = _bsearch_steps_bb(index.bb, cand_cap)
-            visit(fi, text, index, steps)
+        bounds = _shard_bounds(num_windows, shards)
+        for si, (s, e) in enumerate(bounds):
+            with prog.phase("index_build"):
+                index = _build(cfg, text, start=s, num_windows=e - s)
+                steps = _bsearch_steps_bb(index.bb, cand_cap)
+            prog.event(f"file {fi}: index shard {si + 1}/{len(bounds)} "
+                       f"built ({e - s} windows, bsearch={steps})")
+            with prog.phase("match"):
+                visit(fi, text, index, steps)
 
 
 def _foreach_shard_mesh(cfg: RealConfig, texts: List[TextFile], cand_cap,
-                        visit):
+                        visit, prog: Optional["_Progress"] = None):
     """Mesh outer loop: for each text file, build n_shard index shards at
-    once per pass and call visit(fi, text, mesh, (sig, pos, bb),
+    once per pass and call visit(fi, text, mesh, (sig_hi, sig, pos, bb),
     bsearch_steps)."""
     from real_tpu.index.hostbuild import _round16
     from real_tpu.parallel.mesh import build_sharded_index, make_mesh
 
+    prog = prog or _Progress(cfg.verbose)
     n_dev = len(jax.devices())
     for fi, tf in enumerate(texts):
         if not _text_usable(cfg, tf, verbose=True):
@@ -196,11 +239,16 @@ def _foreach_shard_mesh(cfg: RealConfig, texts: List[TextFile], cand_cap,
             start = r * n_shard * per_shard
             if start >= num_windows:
                 break
-            arrays = build_sharded_index(
-                text.words, text.nbits, text.ncum, jnp.int32(text.n),
-                start, seedl=cfg.seedl, per_shard=per_shard, mesh=mesh)
-            steps = _bsearch_steps_bb(arrays[2], cand_cap)
-            visit(fi, text, mesh, arrays, steps)
+            with prog.phase("index_build"):
+                arrays = build_sharded_index(
+                    text.words, text.nbits, text.ncum, jnp.int32(text.n),
+                    start, seedl=cfg.seedl, per_shard=per_shard, mesh=mesh)
+                steps = _bsearch_steps_bb(arrays[3], cand_cap)
+            prog.event(f"file {fi}: index pass {r + 1}/{rounds} built "
+                       f"({n_shard} shards x {per_shard} windows, "
+                       f"bsearch={steps})")
+            with prog.phase("match"):
+                visit(fi, text, mesh, arrays, steps)
 
 
 def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
@@ -234,36 +282,51 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
         bi: initial_state(b.codes.shape[0]) for bi, b in enumerate(batches)}
     overflow = np.zeros(numpat, bool)
     overflows: Dict[int, list] = {}
+    prog = _Progress(cfg.verbose)
+    done_reads = [0]
+    every = max(1, len(batches) // 8)
+
+    def tick(bi, b):
+        # processed/numpat progress contract (the reference's
+        # matchUniqueImplementation.cpp:1287-1293 stderr fraction)
+        done_reads[0] += len(b.patids)
+        if (bi + 1) % every == 0 or bi + 1 == len(batches):
+            prog.event(f"  matched {done_reads[0]}/{numpat} reads "
+                       f"({done_reads[0] / max(numpat, 1):.2f})")
 
     if use_mesh:
         from real_tpu.parallel.mesh import sharded_match_step
 
         def visit(fi, text, mesh, arrays, steps):
-            sig, pos, bb = arrays
+            done_reads[0] = 0
+            sig_hi, sig, pos, bb = arrays
             for bi, b in enumerate(batches):
                 eps = np.float32(cfg.filter_value(b.patl))
                 states[bi], of = sharded_match_step(
                     sig, pos, bb,
                     text.words, text.nbits, text.ncum, text.frag_offsets,
                     b.codes, b.quals, b.valid,
-                    states[bi], jnp.int32(fi), eps,
+                    states[bi], jnp.int32(fi), eps, sig_hi,
                     mesh=mesh, bsearch_steps=steps, matchall=False, **kw)
                 overflows.setdefault(bi, []).append(of)
+                tick(bi, b)
 
-        _foreach_shard_mesh(cfg, texts, cand_cap, visit)
+        _foreach_shard_mesh(cfg, texts, cand_cap, visit, prog)
     else:
         def visit(fi, text, index, steps):
+            done_reads[0] = 0
             for bi, b in enumerate(batches):
                 eps = np.float32(cfg.filter_value(b.patl))
                 states[bi], surv = match_step(
                     index.sig, index.pos, index.bb,
                     text.words, text.nbits, text.ncum, text.frag_offsets,
                     b.codes, b.quals, b.valid,
-                    states[bi], jnp.int32(fi), eps,
+                    states[bi], jnp.int32(fi), eps, index.sig_hi,
                     matchall=False, bsearch_steps=steps, **kw)
                 overflows.setdefault(bi, []).append(surv.overflow)
+                tick(bi, b)
 
-        _foreach_shard_seq(cfg, texts, cand_cap, visit)
+        _foreach_shard_seq(cfg, texts, cand_cap, visit, prog)
 
     # one D2H round-trip for everything: concatenate per-batch state and
     # overflow on device, fetch once
@@ -288,6 +351,7 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
         overflow[b.patids[over[off:off + n]]] = True
         off += rows
 
+    prog.summary()
     over_ids = np.flatnonzero(overflow)
     if len(over_ids):
         if _depth >= 4:
@@ -467,24 +531,25 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
     dummy_states = {bi: initial_state(b.codes.shape[0])
                     for bi, b in enumerate(batches)}
     acc = _HitAccumulator()
+    prog = _Progress(cfg.verbose)
 
     if use_mesh:
         from real_tpu.parallel.mesh import sharded_match_step
 
         def visit(fi, text, mesh, arrays, steps):
-            sig, pos, bb = arrays
+            sig_hi, sig, pos, bb = arrays
             for bi, b in enumerate(batches):
                 eps = np.float32(cfg.filter_value(b.patl))
                 _, seq = sharded_match_step(
                     sig, pos, bb,
                     text.words, text.nbits, text.ncum, text.frag_offsets,
                     b.codes, b.quals, b.valid,
-                    dummy_states[bi], jnp.int32(fi), eps,
+                    dummy_states[bi], jnp.int32(fi), eps, sig_hi,
                     mesh=mesh, bsearch_steps=steps, matchall=True, **kw)
                 acc.add(jax.tree.map(np.asarray, seq), b.patids, fi,
                         len(b.patids), overflow)
 
-        _foreach_shard_mesh(cfg, texts, cand_cap, visit)
+        _foreach_shard_mesh(cfg, texts, cand_cap, visit, prog)
     else:
         def visit(fi, text, index, steps):
             for bi, b in enumerate(batches):
@@ -493,14 +558,15 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
                     index.sig, index.pos, index.bb,
                     text.words, text.nbits, text.ncum, text.frag_offsets,
                     b.codes, b.quals, b.valid,
-                    dummy_states[bi], jnp.int32(fi), eps,
+                    dummy_states[bi], jnp.int32(fi), eps, index.sig_hi,
                     matchall=True, bsearch_steps=steps, **kw)
                 acc.add(jax.tree.map(np.asarray, surv), b.patids, fi,
                         len(b.patids), overflow)
 
-        _foreach_shard_seq(cfg, texts, cand_cap, visit)
+        _foreach_shard_seq(cfg, texts, cand_cap, visit, prog)
 
     hits = acc.finalize()
+    prog.summary()
 
     over_ids = np.flatnonzero(overflow)
     if len(over_ids):

@@ -117,19 +117,23 @@ class Survivors(NamedTuple):
 def compute_probes(codes: jnp.ndarray, seedl: int):
     """Probe signatures for a [B, L] batch.
 
-    Returns (probe_sig, probe_comp) of shape [B, 12] uint32; probes 0..5 are
+    Returns (probe_hi, probe_sig) of shape [B, 12] uint32; probes 0..5 are
     straight lists s0..s5, probes 6..11 reverse-complement — the exact probe
-    order of UniqueMatcher::match (matchUniqueImplementation.cpp:416-488)."""
+    order of UniqueMatcher::match (matchUniqueImplementation.cpp:416-488).
+    probe_hi is None for seedl <= 32; for seedl > 32 it carries the high
+    uint32 plane of the 64-bit pair signatures."""
     sc = SigConfig(seedl)
     m = read_segments(codes[:, :seedl], seedl)
     im = read_segments_rc(codes, seedl)   # segments of RC(read)[0:seedl]
+    if sc.wide:
+        p_str = sc.compose_pairs_wide(m)
+        p_rev = sc.compose_pairs_wide(im)
+        hi = jnp.stack([p[0] for p in p_str] + [p[0] for p in p_rev], axis=1)
+        lo = jnp.stack([p[1] for p in p_str] + [p[1] for p in p_rev], axis=1)
+        return hi, lo
     s_str = sc.compose_pairs(m)
     s_rev = sc.compose_pairs(im)
-    sig = jnp.stack(s_str + s_rev, axis=1)
-    comp = jnp.stack([s_str[NUM_LISTS - 1 - j] for j in range(NUM_LISTS)]
-                     + [s_rev[NUM_LISTS - 1 - j] for j in range(NUM_LISTS)],
-                     axis=1)
-    return sig, comp
+    return None, jnp.stack(s_str + s_rev, axis=1)
 
 
 def pack_read_words(codes: jnp.ndarray):
@@ -210,7 +214,8 @@ def find_survivors(
         codes, quals, read_valid,                  # [B, L], [B, L], [B]
         *, seedl: int, seedkmax: int, totalkmax: int,
         cand_cap: int, survivor_cap: int,
-        bsearch_steps: int = 0) -> Survivors:
+        bsearch_steps: int = 0,
+        index_sig_hi=None) -> Survivors:
     """All verified hits of the batch against this index shard, compacted to
     <= survivor_cap per read in reference merge order.
 
@@ -238,15 +243,22 @@ def find_survivors(
     kw = (patl + 15) // 16
     M = index_sig.shape[1]
 
-    probe_sig, _probe_comp = compute_probes(codes, seedl)
+    sc = SigConfig(seedl)
+    probe_hi, probe_sig = compute_probes(codes, seedl)
     words_s, words_r = pack_read_words(codes)
+
+    def to_list_major(a):    # [B, 12] -> [6, 2B] (strand-major per list)
+        return a.T.reshape(2, NUM_LISTS, B).transpose(1, 0, 2) \
+            .reshape(NUM_LISTS, 2 * B)
 
     # ---- phase 1: candidate ranges from the bucket table -------------------
     # (the reference's lookup table + equal_range, match.hpp:376-382)
-    shift = SigConfig(seedl).bucket_shift
-    by_list = probe_sig.T.reshape(2, NUM_LISTS, B).transpose(1, 0, 2) \
-        .reshape(NUM_LISTS, 2 * B)
-    h = (by_list >> jnp.uint32(shift)).astype(jnp.int32)
+    by_list = to_list_major(probe_sig)
+    by_list_hi = to_list_major(probe_hi) if probe_hi is not None else None
+    if sc.wide:
+        h = sc.bucket_key(by_list_hi, by_list).astype(jnp.int32)
+    else:
+        h = (by_list >> jnp.uint32(sc.bucket_shift)).astype(jnp.int32)
     lo = jnp.take_along_axis(index_bb, h, axis=1)
     hi = jnp.take_along_axis(index_bb, h + 1, axis=1)
     if bsearch_steps:
@@ -257,10 +269,18 @@ def find_survivors(
             l, h2 = lo, hi
             for _ in range(bsearch_steps):
                 mid = (l + h2) >> 1
-                v = jnp.take_along_axis(index_sig, jnp.minimum(mid, M - 1),
-                                        axis=1)
+                safe = jnp.minimum(mid, M - 1)
+                v = jnp.take_along_axis(index_sig, safe, axis=1)
+                if sc.wide:
+                    vh = jnp.take_along_axis(index_sig_hi, safe, axis=1)
+                    le = (vh < by_list_hi) | ((vh == by_list_hi)
+                                              & (v <= by_list))
+                    lt = (vh < by_list_hi) | ((vh == by_list_hi)
+                                              & (v < by_list))
+                else:
+                    le, lt = v <= by_list, v < by_list
                 live = l < h2
-                go_right = ((v <= by_list) if gt else (v < by_list)) & live
+                go_right = (le if gt else lt) & live
                 l, h2 = (jnp.where(go_right, mid + 1, l),
                          jnp.where(~go_right & live, mid, h2))
             return l
@@ -310,6 +330,9 @@ def find_survivors(
     cand_sig = jnp.take(index_sig.reshape(-1), flat)
     probe_of_lane = jnp.take_along_axis(probe_sig, s_probe, axis=1)
     s_valid &= cand_sig == probe_of_lane
+    if sc.wide:
+        cand_hi = jnp.take(index_sig_hi.reshape(-1), flat)
+        s_valid &= cand_hi == jnp.take_along_axis(probe_hi, s_probe, axis=1)
 
     # reverse-complement hits place the indexed seed at the END of the
     # window: pos = rpos - restlen (RestMatch.hpp:84-89)
@@ -593,6 +616,7 @@ def match_step(index_sig, index_pos, index_bb,
                words, nbits, ncum, frag_offsets,
                codes, quals, read_valid,
                state: MatchState, fileid, epsilon,
+               index_sig_hi=None,
                *, tables=None, seedl: int, seedkmax: int, totalkmax: int,
                cand_cap: int, survivor_cap: int,
                scores: bool, score_mode: str, matchall: bool,
@@ -609,7 +633,7 @@ def match_step(index_sig, index_pos, index_bb,
         codes, quals, read_valid,
         seedl=seedl, seedkmax=seedkmax, totalkmax=totalkmax,
         cand_cap=cand_cap, survivor_cap=survivor_cap,
-        bsearch_steps=bsearch_steps)
+        bsearch_steps=bsearch_steps, index_sig_hi=index_sig_hi)
     if scores:
         surv = score_survivors(surv, tw, codes, quals, tables,
                                score_mode=score_mode)

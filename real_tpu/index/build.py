@@ -4,10 +4,11 @@ TPU-first replacement for the reference's incremental text scan + OpenMP
 radix sort (MapTextFile.hpp:181-230, ListSet.hpp:41-63,
 ParallelRadixSort.hpp): one vectorized pass computes all windows' four
 segments, composes the six pair signatures, and `lax.sort` produces the six
-sorted lists. Each list row carries (signature, complementary-pair
-signature, position) — the explicit complement replaces the reference's ptr
-cross-links (u_sort.hpp:29-40, Mask.hpp:36-40): a probe hit verifies its
-seed errors directly against the stored complementary signature.
+sorted lists. Each list row carries (signature, position) only — no ptr
+cross-links (u_sort.hpp:29-40, Mask.hpp:36-40): the matcher re-derives the
+seed error count from the verified text window itself. For seedl > 32 the
+signature is a (hi, lo) uint32 plane pair sorted lexicographically (the
+reference's u_int64_t path, real.cpp:217-221).
 
 Because window positions are consecutive, segment extraction needs NO
 gathers: the 16-base word at every position is computed with a 16-phase
@@ -53,10 +54,13 @@ class SignatureIndex:
     from the text window itself (engine/matchstep.py find_survivors), so
     the index is (sig, pos) only — 48 B/window vs the reference's
     cross-linked Mask records (Mask.hpp:36-40)."""
-    sig: jnp.ndarray    # uint32 [6, M] sorted (primary key)
+    sig: jnp.ndarray    # uint32 [6, M] sorted (primary key; lo plane if wide)
     pos: jnp.ndarray    # int32  [6, M] window position (sentinel if invalid)
     bb: jnp.ndarray     # int32  [6, 2^bucket_bits + 1] bucket begin table
     seedl: int
+    # high uint32 plane of 64-bit signatures (seedl > 32, the reference's
+    # u_int64_t dispatch real.cpp:217-221); None for seedl <= 32
+    sig_hi: Optional[jnp.ndarray] = None
 
 
 def _ext16_all(words: jnp.ndarray, word_lo, n_ext: int) -> jnp.ndarray:
@@ -109,7 +113,6 @@ def build_lists_impl(words: jnp.ndarray, nbits: jnp.ndarray,
     segs = []
     for off, w in zip(sc.seg_offsets, sc.syms):
         segs.append(ext[off:off + num_windows] >> jnp.uint32(2 * (16 - w)))
-    sigs = sc.compose_pairs(segs)                       # list of [M] uint32
 
     pos = start + jnp.arange(num_windows, dtype=jnp.int32)
     in_range = pos <= (n - seedl)
@@ -117,20 +120,32 @@ def build_lists_impl(words: jnp.ndarray, nbits: jnp.ndarray,
     valid = in_range & ((npre[seedl:seedl + num_windows]
                          - npre[:num_windows]) == 0)
     spos = jnp.where(valid, pos, POS_SENTINEL)
+    poss = jnp.broadcast_to(spos, (NUM_LISTS, num_windows))
 
     # one batched variadic sort over all six lists ([6, M] rows) — a single
-    # XLA sort op keeps compile time flat vs six separate sorts
-    keys = jnp.stack([jnp.where(valid, sigs[j], SIG_SENTINEL)
-                      for j in range(NUM_LISTS)])
-    poss = jnp.broadcast_to(spos, (NUM_LISTS, num_windows))
+    # XLA sort op keeps compile time flat vs six separate sorts.
     # stable ascending (sig, pos): reference lists are stable radix sorted,
     # so equal signatures keep ascending text position
-    skey, sp = lax.sort((keys, poss), num_keys=2, dimension=1)
+    nb = 1 << sc.bucket_bits
+    if sc.wide:
+        pairs = sc.compose_pairs_wide(segs)      # list of ([M], [M]) planes
+        keys_hi = jnp.stack([jnp.where(valid, pairs[j][0], SIG_SENTINEL)
+                             for j in range(NUM_LISTS)])
+        keys_lo = jnp.stack([jnp.where(valid, pairs[j][1], SIG_SENTINEL)
+                             for j in range(NUM_LISTS)])
+        shi, skey, sp = lax.sort((keys_hi, keys_lo, poss), num_keys=3,
+                                 dimension=1)
+        h = sc.bucket_key(shi, skey).astype(jnp.int32)
+    else:
+        sigs = sc.compose_pairs(segs)            # list of [M] uint32
+        keys = jnp.stack([jnp.where(valid, sigs[j], SIG_SENTINEL)
+                          for j in range(NUM_LISTS)])
+        skey, sp = lax.sort((keys, poss), num_keys=2, dimension=1)
+        shi = None
+        h = (skey >> jnp.uint32(sc.bucket_shift)).astype(jnp.int32)
 
     # bucket-begin tables (getLookupTable.hpp:26-51): one histogram over the
     # top bucket_bits of each list, sentinels excluded, then exclusive scan
-    nb = 1 << sc.bucket_bits
-    h = (skey >> jnp.uint32(sc.bucket_shift)).astype(jnp.int32)
     h = h + (jnp.arange(NUM_LISTS, dtype=jnp.int32) * nb)[:, None]
     w8 = (sp != POS_SENTINEL).astype(jnp.int32)
     counts = jax.ops.segment_sum(w8.reshape(-1), h.reshape(-1),
@@ -139,7 +154,7 @@ def build_lists_impl(words: jnp.ndarray, nbits: jnp.ndarray,
     bb = jnp.concatenate(
         [jnp.zeros((NUM_LISTS, 1), jnp.int32),
          jnp.cumsum(counts, axis=1, dtype=jnp.int32)], axis=1)
-    return skey, sp, bb
+    return shi, skey, sp, bb
 
 
 _build_lists = jax.jit(build_lists_impl,
@@ -166,7 +181,8 @@ def build_index(text: PackedText, seedl: int,
     if num_windows is None:
         num_windows = total - start
     assert start % 16 == 0, "shard starts must be 16-aligned"
-    sig, pos, bb = _build_lists(
+    sig_hi, sig, pos, bb = _build_lists(
         text.words, text.nbits, text.ncum,
         jnp.int32(start), int(num_windows), seedl, jnp.int32(text.n))
-    return SignatureIndex(sig=sig, pos=pos, bb=bb, seedl=seedl)
+    return SignatureIndex(sig=sig, pos=pos, bb=bb, seedl=seedl,
+                          sig_hi=sig_hi)

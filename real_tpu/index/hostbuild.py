@@ -1,6 +1,6 @@
 """Host-side (NumPy) index construction.
 
-Same output as index.build (six sorted (sig, comp, pos) lists) computed with
+Same output as index.build (six sorted (sig, pos) lists) computed with
 vectorized NumPy and one uint64 composite-key argsort per list. Used for
 single-host runs: device HBM then only holds the finished sorted lists, and
 cold-start avoids a large one-time XLA compile of the build program (the
@@ -63,33 +63,52 @@ def build_lists_host(words: np.ndarray, nbits: np.ndarray, ncum: np.ndarray,
     for off, w in zip(sc.seg_offsets, sc.syms):
         v = _extract_bases16_np(words, pos + off)
         segs.append((v >> np.uint32(2 * (16 - w))).astype(np.uint32))
-    sigs = sc.compose_pairs(segs)
 
     valid = pos <= (n - seedl)
     valid &= (_n_rank_excl_np(nbits, ncum, pos + seedl)
               - _n_rank_excl_np(nbits, ncum, pos)) == 0
     pos32 = np.where(valid, pos, POS_SENTINEL).astype(np.int32)
 
+    hi_out = np.empty((NUM_LISTS, num_windows), np.uint32) if sc.wide \
+        else None
     sig_out = np.empty((NUM_LISTS, num_windows), np.uint32)
     pos_out = np.empty((NUM_LISTS, num_windows), np.int32)
-    for j in range(NUM_LISTS):
-        key = np.where(valid, sigs[j], SIG_SENTINEL)
-        # composite key (sig << 31 | pos) -> one u64 argsort per list, stable
-        # ascending position within equal signatures like the reference's
-        # stable radix sort (ParallelRadixSort.hpp)
-        composite = (key.astype(np.uint64) << np.uint64(31)) \
-            | pos32.astype(np.uint64)
-        order = np.argsort(composite, kind="stable")
-        sig_out[j] = key[order]
-        pos_out[j] = pos32[order]
+    if sc.wide:
+        pairs = sc.compose_pairs_wide(segs)
+        for j in range(NUM_LISTS):
+            key_hi = np.where(valid, pairs[j][0], SIG_SENTINEL)
+            key_lo = np.where(valid, pairs[j][1], SIG_SENTINEL)
+            # lexsort: last key is primary -> (hi, lo, pos) ascending,
+            # stable ascending position within equal signatures
+            order = np.lexsort((pos32, key_lo, key_hi))
+            hi_out[j] = key_hi[order]
+            sig_out[j] = key_lo[order]
+            pos_out[j] = pos32[order]
+    else:
+        sigs = sc.compose_pairs(segs)
+        for j in range(NUM_LISTS):
+            key = np.where(valid, sigs[j], SIG_SENTINEL)
+            # composite key (sig << 31 | pos) -> one u64 argsort per list,
+            # stable ascending position within equal signatures like the
+            # reference's stable radix sort (ParallelRadixSort.hpp)
+            composite = (key.astype(np.uint64) << np.uint64(31)) \
+                | pos32.astype(np.uint64)
+            order = np.argsort(composite, kind="stable")
+            sig_out[j] = key[order]
+            pos_out[j] = pos32[order]
 
     nb = 1 << sc.bucket_bits
     bb = np.zeros((NUM_LISTS, nb + 1), np.int32)
     for j in range(NUM_LISTS):
         live = pos_out[j] != POS_SENTINEL
-        h = (sig_out[j][live] >> np.uint32(sc.bucket_shift)).astype(np.int64)
+        if sc.wide:
+            h = sc.bucket_key(hi_out[j][live], sig_out[j][live]) \
+                .astype(np.int64)
+        else:
+            h = (sig_out[j][live] >> np.uint32(sc.bucket_shift)) \
+                .astype(np.int64)
         bb[j, 1:] = np.cumsum(np.bincount(h, minlength=nb)).astype(np.int32)
-    return sig_out, pos_out, bb
+    return hi_out, sig_out, pos_out, bb
 
 
 def build_index_host(text, seedl: int, start: int = 0,
@@ -102,8 +121,10 @@ def build_index_host(text, seedl: int, start: int = 0,
     words = np.asarray(text.words)
     nbits = np.asarray(text.nbits)
     ncum = np.asarray(text.ncum)
-    sig, pos, bb = build_lists_host(words, nbits, ncum, text.n, seedl,
-                                    start, num_windows)
+    sig_hi, sig, pos, bb = build_lists_host(words, nbits, ncum, text.n,
+                                            seedl, start, num_windows)
     return SignatureIndex(sig=jnp.asarray(sig),
                           pos=jnp.asarray(pos), bb=jnp.asarray(bb),
-                          seedl=seedl)
+                          seedl=seedl,
+                          sig_hi=None if sig_hi is None
+                          else jnp.asarray(sig_hi))

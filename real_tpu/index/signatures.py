@@ -12,9 +12,15 @@ matchUniqueImplementation.cpp:416-452): list j's complementary signature is
 s[5-j] — the two segments NOT in the probe key; the mismatch count of the
 complementary pair is the seed error count.
 
-This implementation is for seedl <= 32, where every pair signature fits a
-uint32 lane (seedl=32 -> exactly 32 bits). seedl in (32, 64] would need
-hi/lo uint32 pairs (u_int64_t signatures in the reference) — not yet built.
+Signature width: every pair signature has exactly `seedl` bits (seedl is
+clamped to a multiple of 4, so all four segments have seedl/4 symbols and
+every pair 2 * seedl/4 * 2 = seedl bits). For seedl <= 32 a pair fits one
+uint32 lane. For seedl in (32, 64] — the reference's u_int64_t dispatch
+(real.cpp:217-221) — signatures are (hi, lo) uint32 plane pairs: TPUs have
+no native 64-bit integer lanes, so the wide path carries two uint32 arrays
+and compares them lexicographically. SigConfig.wide selects the layout
+statically (it is a function of seedl, which is a jit-static argument
+everywhere).
 """
 
 from __future__ import annotations
@@ -53,6 +59,11 @@ class SigConfig:
         return self.bits[a] + self.bits[b]
 
     @property
+    def wide(self) -> bool:
+        """True when pair signatures exceed 32 bits (u64 reference path)."""
+        return self.seedl > 32
+
+    @property
     def bucket_bits(self) -> int:
         """Bucket-table width: the top min(22, pair_bits) signature bits
         (getSampleBits.hpp:22-25 uses 22). seedl is a multiple of 4, so all
@@ -65,16 +76,42 @@ class SigConfig:
 
     def compose_pairs(self, m: Sequence) -> List:
         """s0..s5 from segments m0..m3 (works for np or jnp uint32 arrays).
-        sj = (m_a << bits_b) | m_b (SignatureConstruction.hpp:62-67)."""
+        sj = (m_a << bits_b) | m_b (SignatureConstruction.hpp:62-67).
+        Narrow (seedl <= 32) only; wide path uses compose_pairs_wide."""
+        assert not self.wide
         bits = self.bits
         return [(m[a] << np.uint32(bits[b])) | m[b]
                 for a, b in PAIR_SEGMENTS]
 
+    def compose_pairs_wide(self, m: Sequence) -> List:
+        """s0..s5 as (hi, lo) uint32 plane pairs for seedl in (32, 64].
+
+        full = (m_a << bits_b) | m_b with bits_a + bits_b = seedl <= 64 and
+        each segment <= 32 bits; lo is the low 32 bits, hi the remaining
+        seedl-32 high bits."""
+        assert self.wide
+        bits = self.bits
+        out = []
+        for a, b in PAIR_SEGMENTS:
+            if bits[b] >= 32:                     # seedl == 64: clean split
+                out.append((m[a], m[b]))
+            else:
+                hi = m[a] >> np.uint32(32 - bits[b])
+                lo = (m[a] << np.uint32(bits[b])) | m[b]
+                out.append((hi, lo))
+        return out
+
+    def bucket_key(self, hi, lo):
+        """Top bucket_bits bits of a wide (hi, lo) signature:
+        full >> (seedl - 22), assembled from the two planes."""
+        sh = self.bucket_shift
+        if sh >= 32:
+            return hi >> np.uint32(sh - 32)
+        return (hi << np.uint32(32 - sh)) | (lo >> np.uint32(sh))
+
     def validate(self) -> None:
-        if self.seedl > 32:
-            raise NotImplementedError(
-                "seedl > 32 needs 64-bit pair signatures (hi/lo uint32 "
-                "lanes); not implemented yet")
+        if self.seedl > 64:
+            raise ValueError("seedl must be <= 64")
         if self.seedl % 4 or self.seedl < 4:
             raise ValueError("seedl must be a positive multiple of 4")
 

@@ -60,22 +60,29 @@ def build_sharded_index(words, nbits, ncum, n, start=0, *, seedl: int,
     num_windows (single pass over the whole range, per_shard derived).
     start and per_shard must be 16-aligned."""
     from real_tpu.index.hostbuild import _round16
+    from real_tpu.index.signatures import SigConfig
     n_shard = mesh.shape["shard"]
     per = per_shard or _round16(-(-num_windows // n_shard))
+    wide = SigConfig(seedl).wide
 
     def local_build(words, nbits, ncum, n, start):
         from real_tpu.index.build import build_lists_impl
         s = lax.axis_index("shard")
-        sig, pos, bb = build_lists_impl(
+        shi, sig, pos, bb = build_lists_impl(
             words, nbits, ncum, start + (s * per).astype(jnp.int32), per,
             seedl, n)
+        if wide:
+            return shi[None], sig[None], pos[None], bb[None]
         return sig[None], pos[None], bb[None]
 
     fn = jax.shard_map(
         local_build, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P()),
         out_specs=P("shard"))
-    return fn(words, nbits, ncum, n, jnp.int32(start))
+    out = fn(words, nbits, ncum, n, jnp.int32(start))
+    if wide:
+        return out            # (sig_hi, sig, pos, bb)
+    return (None,) + tuple(out)
 
 
 @functools.partial(
@@ -87,6 +94,7 @@ def sharded_match_step(index_sig, index_pos, index_bb,
                        words, nbits, ncum, frag_offsets,     # replicated
                        codes, quals, read_valid,             # [B,...] dp
                        state: MatchState, fileid, epsilon,
+                       index_sig_hi=None,                    # [n_shard,6,M]
                        *, tables=None, seedl: int, seedkmax: int,
                        totalkmax: int, cand_cap: int, survivor_cap: int,
                        scores: bool, score_mode: str, mesh: Mesh,
@@ -98,15 +106,16 @@ def sharded_match_step(index_sig, index_pos, index_bb,
     Returns (new_state, overflow [B]) for matchUnique, or
     (state, Survivors [B, n_shard*S] shard-major) for matchall=True."""
 
-    def local_step(sig, pos, bb, words, nbits, ncum, frag_offsets,
+    def local_step(sig, pos, bb, sig_hi, words, nbits, ncum, frag_offsets,
                    codes, quals, read_valid, state, fileid, epsilon):
         sig, pos, bb = sig[0], pos[0], bb[0]   # drop the shard dim
+        sig_hi = sig_hi[0] if sig_hi is not None else None
         surv, tw = find_survivors(
             sig, pos, bb, words, nbits, ncum, frag_offsets,
             codes, quals, read_valid,
             seedl=seedl, seedkmax=seedkmax, totalkmax=totalkmax,
             cand_cap=cand_cap, survivor_cap=survivor_cap,
-            bsearch_steps=bsearch_steps)
+            bsearch_steps=bsearch_steps, index_sig_hi=sig_hi)
         if scores:
             surv = score_survivors(surv, tw, codes, quals, tables,
                                    score_mode=score_mode)
@@ -136,12 +145,13 @@ def sharded_match_step(index_sig, index_pos, index_bb,
     fn = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(P("shard"), P("shard"), P("shard"),
+                  jax.tree.map(lambda _: P("shard"), index_sig_hi),
                   P(), P(), P(), P(),
                   P("dp"), P("dp"), P("dp"),
                   jax.tree.map(lambda _: P("dp"), state),
                   P(), P()),
         out_specs=(jax.tree.map(lambda _: P("dp"), state), out_spec),
         check_vma=False)
-    return fn(index_sig, index_pos, index_bb, words, nbits,
+    return fn(index_sig, index_pos, index_bb, index_sig_hi, words, nbits,
               ncum, frag_offsets, codes, quals, read_valid, state,
               jnp.int32(fileid), jnp.float32(epsilon))

@@ -91,6 +91,47 @@ def test_unique_driver_paths(ref_real, tmp_path, scores, shards, use_mesh):
     assert ours == ref
 
 
+@pytest.mark.parametrize("seedl", [48, 64])
+@pytest.mark.parametrize("use_mesh", [False, True])
+def test_unique_wide_seedl(ref_real, tmp_path, seedl, use_mesh):
+    """seedl > 32: 64-bit pair signatures as (hi, lo) uint32 planes — the
+    reference's u_int64_t dispatch (real.cpp:217-221). Byte-identical on
+    both the sequential and the mesh driver path."""
+    genome, reads = ab_util.make_inputs(tmp_path, n=24000, numpat=250,
+                                        patlen=100, errprob=0.02,
+                                        seed=40 + seedl)
+    ref = ab_util.run_reference(
+        ref_real, genome, reads, str(tmp_path / "ref.out"),
+        ab_util.ref_flags(scores=True, seedl=seedl))
+    ours = ab_util.run_ours(genome, reads, scores=True, seedl=seedl,
+                            use_mesh=use_mesh,
+                            index_shards=4 if use_mesh else 1)
+    assert ours == ref
+
+
+def test_wide_seedl_host_equals_device_build(tmp_path):
+    """Host (NumPy) and device (lax.sort) wide index builds are equal."""
+    import numpy as np
+    from real_tpu.index.build import build_index
+    from real_tpu.index.hostbuild import build_index_host
+    from real_tpu.io import fasta
+    from real_tpu.text.packed import build_packed_text
+    from real_tpu.tools import simulate
+
+    g = str(tmp_path / "g.fa")
+    with open(g, "w") as f:
+        f.write(simulate.random_genome(9000, seed=51, n_prob=0.001))
+    codes, ranges = fasta.parse_genome(g)
+    text = build_packed_text(codes, ranges)
+    for seedl in (48, 64):
+        a = build_index(text, seedl)
+        b = build_index_host(text, seedl)
+        assert (np.asarray(a.sig_hi) == np.asarray(b.sig_hi)).all()
+        assert (np.asarray(a.sig) == np.asarray(b.sig)).all()
+        assert (np.asarray(a.pos) == np.asarray(b.pos)).all()
+        assert (np.asarray(a.bb) == np.asarray(b.bb)).all()
+
+
 def test_matchall_driver_sharded(ref_real, tmp_path):
     """matchAll through the mesh driver with a shard axis: same record
     set as the single-shard sequential run, and superset of the

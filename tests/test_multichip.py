@@ -57,7 +57,7 @@ def _sharded(text, codes, quals, valid, tables, scores, n_dp, n_shard,
              bsearch_steps=0):
     mesh = make_mesh(n_dp, n_shard)
     num_windows = text.n - 32 + 1
-    sig, pos, bb = build_sharded_index(
+    _hi, sig, pos, bb = build_sharded_index(
         text.words, text.nbits, text.ncum, jnp.int32(text.n),
         seedl=32, num_windows=num_windows, mesh=mesh)
     st, _of = sharded_match_step(
