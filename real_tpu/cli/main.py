@@ -34,6 +34,7 @@ def parse_args(argv: List[str]) -> RealConfig:
         # TPU-engine knobs
         "-B": ("batch_size", int), "-K": ("cand_cap", int),
         "-S": ("survivor_cap", int), "-shards": ("index_shards", int),
+        "-ckpt": ("checkpoint", str),
     }
     bool_flags = {"-u": "match_unique", "-q": "scores",
                   "-R": "rewritepatterns", "-g": "gaps", "-v": "verbose"}

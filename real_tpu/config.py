@@ -53,6 +53,9 @@ class RealConfig:
     use_mesh: object = None           # None = auto (mesh when devices > 1);
                                       # True/False force the mesh/sequential
                                       # driver path (tests cover both)
+    checkpoint: str = ""              # -ckpt <path>: save (matchinfo, shard
+                                      # cursor) after every index unit and
+                                      # resume from it (matchUnique only)
     verbose: bool = False             # -v: stderr progress (reference prints
                                       # processed/numpat fractions,
                                       # matchUniqueImplementation.cpp:1292)

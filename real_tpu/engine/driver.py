@@ -194,10 +194,14 @@ class _Progress:
 
 
 def _foreach_shard_seq(cfg: RealConfig, texts: List[TextFile], cand_cap,
-                       visit, prog: Optional["_Progress"] = None):
+                       visit, prog: Optional["_Progress"] = None,
+                       skip_units: int = 0):
     """Sequential (1-device) outer loop: for each text file and index
-    shard, call visit(fi, text, index, bsearch_steps)."""
+    shard, call visit(fi, text, index, bsearch_steps). The first
+    skip_units (file, shard) units are skipped entirely (checkpoint
+    resume) — their index builds never run."""
     prog = prog or _Progress(cfg.verbose)
+    unit = 0
     for fi, tf in enumerate(texts):
         if not _text_usable(cfg, tf, verbose=True):
             continue
@@ -206,6 +210,9 @@ def _foreach_shard_seq(cfg: RealConfig, texts: List[TextFile], cand_cap,
         shards = _plan_shards(cfg, text)
         bounds = _shard_bounds(num_windows, shards)
         for si, (s, e) in enumerate(bounds):
+            unit += 1
+            if unit <= skip_units:
+                continue
             with prog.phase("index_build"):
                 index = _build(cfg, text, start=s, num_windows=e - s)
                 steps = _bsearch_steps_bb(index.bb, cand_cap)
@@ -216,7 +223,8 @@ def _foreach_shard_seq(cfg: RealConfig, texts: List[TextFile], cand_cap,
 
 
 def _foreach_shard_mesh(cfg: RealConfig, texts: List[TextFile], cand_cap,
-                        visit, prog: Optional["_Progress"] = None):
+                        visit, prog: Optional["_Progress"] = None,
+                        skip_units: int = 0):
     """Mesh outer loop: for each text file, build n_shard index shards at
     once per pass and call visit(fi, text, mesh, (sig_hi, sig, pos, bb),
     bsearch_steps)."""
@@ -225,6 +233,7 @@ def _foreach_shard_mesh(cfg: RealConfig, texts: List[TextFile], cand_cap,
 
     prog = prog or _Progress(cfg.verbose)
     n_dev = len(jax.devices())
+    unit = 0
     for fi, tf in enumerate(texts):
         if not _text_usable(cfg, tf, verbose=True):
             continue
@@ -239,6 +248,9 @@ def _foreach_shard_mesh(cfg: RealConfig, texts: List[TextFile], cand_cap,
             start = r * n_shard * per_shard
             if start >= num_windows:
                 break
+            unit += 1
+            if unit <= skip_units:
+                continue
             with prog.phase("index_build"):
                 arrays = build_sharded_index(
                     text.words, text.nbits, text.ncum, jnp.int32(text.n),
@@ -286,6 +298,44 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
     done_reads = [0]
     every = max(1, len(batches) // 8)
 
+    # checkpoint/resume (SURVEY §5.4): state = per-batch MatchState +
+    # reduced overflow + completed-unit cursor; only the top-level pass
+    # checkpoints (escalation reruns are cheap re-derivations)
+    ck = None
+    skip_units = 0
+    unit_done = [0]
+    if cfg.checkpoint and _depth == 0 and patid_filter is None:
+        from real_tpu.engine import checkpoint as ckpt_mod
+        fp = ckpt_mod.fingerprint(cfg, texts, numpat, len(batches),
+                                  cand_cap, survivor_cap)
+        ck = ckpt_mod.Checkpoint(cfg.checkpoint, fp)
+        data = ck.load()
+        if data:
+            skip_units = unit_done[0] = data["units_done"]
+            for bi in range(len(batches)):
+                states[bi] = MatchState(**{
+                    f: jnp.asarray(data["states"][bi][f])
+                    for f in ("st", "pos", "frag", "fileid", "errs",
+                              "score")})
+                overflows[bi] = [jnp.asarray(data["overflow"][bi])]
+            prog.event(f"resumed from checkpoint: {skip_units} units done")
+
+    def checkpoint_unit():
+        unit_done[0] += 1
+        if ck is None:
+            return
+        host_states = [
+            {f: np.asarray(getattr(states[bi], f))
+             for f in ("st", "pos", "frag", "fileid", "errs", "score")}
+            for bi in range(len(batches))]
+        host_over = [
+            np.asarray(functools.reduce(jnp.logical_or, overflows[bi]))
+            if bi in overflows else np.zeros(batches[bi].codes.shape[0],
+                                             bool)
+            for bi in range(len(batches))]
+        ck.save(unit_done[0], host_states, host_over)
+        prog.event(f"checkpoint saved ({unit_done[0]} units)")
+
     def tick(bi, b):
         # processed/numpat progress contract (the reference's
         # matchUniqueImplementation.cpp:1287-1293 stderr fraction)
@@ -310,8 +360,9 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
                     mesh=mesh, bsearch_steps=steps, matchall=False, **kw)
                 overflows.setdefault(bi, []).append(of)
                 tick(bi, b)
+            checkpoint_unit()
 
-        _foreach_shard_mesh(cfg, texts, cand_cap, visit, prog)
+        _foreach_shard_mesh(cfg, texts, cand_cap, visit, prog, skip_units)
     else:
         def visit(fi, text, index, steps):
             done_reads[0] = 0
@@ -325,8 +376,9 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
                     matchall=False, bsearch_steps=steps, **kw)
                 overflows.setdefault(bi, []).append(surv.overflow)
                 tick(bi, b)
+            checkpoint_unit()
 
-        _foreach_shard_seq(cfg, texts, cand_cap, visit, prog)
+        _foreach_shard_seq(cfg, texts, cand_cap, visit, prog, skip_units)
 
     # one D2H round-trip for everything: concatenate per-batch state and
     # overflow on device, fetch once
@@ -366,6 +418,8 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
             _depth=_depth + 1)
         for f in ("st", "pos", "frag", "fileid", "errs", "score"):
             getattr(result, f)[over_ids] = getattr(sub, f)[over_ids]
+    if ck is not None:
+        ck.delete()
     return result
 
 
