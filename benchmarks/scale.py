@@ -73,7 +73,7 @@ def run_reference(name, c, d, g, r):
 def run_ours(name, c, d, g, r):
     import io
 
-    from real_tpu.cli.output import write_all, write_unique
+    from real_tpu.cli.output import write_all_arrays, write_unique
     from real_tpu.config import RealConfig
     from real_tpu.engine import driver
     from real_tpu.io.readstore import parse_reads_cached
@@ -104,8 +104,8 @@ def run_ours(name, c, d, g, r):
         result = driver.run_match_unique(cfg, rs, texts)
         write_unique(buf, rs, result, texts, c["scores"])
     else:
-        hits = driver.run_match_all(cfg, rs, texts)
-        write_all(buf, rs, hits, texts, c["scores"])
+        cols = driver.run_match_all(cfg, rs, texts, as_arrays=True)
+        write_all_arrays(buf, rs, cols, texts, c["scores"])
     dt = time.perf_counter() - t0
     ours = os.path.join(d, "ours.out")
     with open(ours, "w") as f:

@@ -63,7 +63,7 @@ def parse_args(argv: List[str]) -> RealConfig:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
-    from real_tpu.cli.output import write_all, write_unique
+    from real_tpu.cli.output import write_all_arrays, write_unique
     from real_tpu.engine import driver
     from real_tpu.io import reads as reads_io
     from real_tpu.utils.cache import enable_compilation_cache
@@ -89,8 +89,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             unique = write_unique(out, rs, result, texts, cfg.scores)
             print(f"unique: {unique}", file=sys.stderr)
         else:
-            hits = driver.run_match_all(cfg, rs, texts)
-            write_all(out, rs, hits, texts, cfg.scores)
+            cols = driver.run_match_all(cfg, rs, texts, as_arrays=True)
+            write_all_arrays(out, rs, cols, texts, cfg.scores)
     finally:
         if out is not sys.stdout:
             out.close()

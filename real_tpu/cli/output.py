@@ -8,6 +8,11 @@ matchAllImplementation.cpp:481-517), tab separated:
 
 Scores are printed as C++ `ostream << float` (general format, 6 significant
 digits) == Python '%.6g' of the float32 value widened to double.
+
+Formatting is fully vectorized (NumPy bytes columns + np.char.add): the
+reference's output pass is a C++ stream loop
+(matchUniqueImplementation.cpp:1438-1488); a per-read Python loop would
+dominate wall-clock at 1M+ reads.
 """
 
 from __future__ import annotations
@@ -23,62 +28,147 @@ from real_tpu.io.reads import ReadSet, reverse_complement
 _REMAP = np.frombuffer(b"ACGTN", dtype=np.uint8)
 
 
-def _seq_str(codes: np.ndarray) -> str:
-    return _REMAP[codes].tobytes().decode("ascii")
-
-
 def format_score(x: float) -> str:
     """C++ default ostream float formatting (6 significant digits)."""
     return f"{float(np.float32(x)):.6g}"
 
 
-def write_unique(out: IO[str], rs: ReadSet, result: MatchResult,
+def _write_bytes(out: IO, blob: bytes) -> None:
+    buf = getattr(out, "buffer", None)
+    if buf is not None:
+        buf.write(blob)
+    else:
+        try:
+            out.write(blob)
+        except TypeError:
+            out.write(blob.decode("latin-1"))
+
+
+def _frag_tables(texts: List[TextFile]):
+    """Per-file (names S-array, offsets int64 array) lookup tables."""
+    names, offs = [], []
+    for tf in texts:
+        r = tf.packed.ranges
+        names.append(np.array([nm.encode("latin-1") for nm, _ in r]))
+        offs.append(np.array([off for _, off in r], dtype=np.int64))
+    return names, offs
+
+
+def _seq_column(codes_mat: np.ndarray, inv: np.ndarray) -> np.ndarray:
+    """[n, L] codes + strand -> S-array of sequence strings in matched
+    orientation (reverse complement for '-' hits)."""
+    n, L = codes_mat.shape
+    rc = (3 - codes_mat[:, ::-1].astype(np.int16)).astype(np.uint8)
+    sel = np.where(inv[:, None], rc, codes_mat)
+    return np.frombuffer(_REMAP[sel].tobytes(), dtype=f"S{L}")
+
+
+def _gather_codes(rs: ReadSet, pids: np.ndarray, L: int) -> np.ndarray:
+    idx = (rs.offsets[pids][:, None]
+           + np.arange(L, dtype=np.int64)[None, :])
+    return rs.codes_flat[idx]
+
+
+def _int_col(a: np.ndarray) -> np.ndarray:
+    return np.char.mod(b"%d", a.astype(np.int64))
+
+
+def _score_col(a: np.ndarray) -> np.ndarray:
+    return np.char.mod(b"%.6g", a.astype(np.float32).astype(np.float64))
+
+
+def _join_records(cols: List[np.ndarray]) -> bytes:
+    """Tab-join byte columns into newline-terminated records."""
+    tab = np.array(b"\t")
+    rec = cols[0]
+    for c in cols[1:]:
+        rec = np.char.add(np.char.add(rec, tab), c)
+    if len(rec) == 0:
+        return b""
+    return b"\n".join(rec.tolist()) + b"\n"
+
+
+def _format_records(rs: ReadSet, pids: np.ndarray, inv: np.ndarray,
+                    fileid: np.ndarray, frag: np.ndarray, pos: np.ndarray,
+                    errs: np.ndarray, score: np.ndarray,
+                    texts: List[TextFile], scores: bool) -> bytes:
+    """Vectorized record lines for hits (pids may repeat for matchAll);
+    rows are emitted in the given order."""
+    if pids.size == 0:
+        return b""
+    names, offs = _frag_tables(texts)
+    n = pids.size
+
+    ids = rs.ids
+    id_col = np.array([ids[p].encode("latin-1") for p in pids.tolist()])
+
+    seq_col = np.empty(n, dtype=object)
+    lens = rs.lengths[pids]
+    for L in np.unique(lens):
+        m = lens == L
+        seq_col[m] = _seq_column(_gather_codes(rs, pids[m], int(L)), inv[m])
+
+    frag_name = np.empty(n, dtype=object)
+    local_pos = np.empty(n, dtype=np.int64)
+    for fi in np.unique(fileid):
+        m = fileid == fi
+        frag_name[m] = names[fi][frag[m]]
+        local_pos[m] = pos[m].astype(np.int64) - offs[fi][frag[m]] + 1
+
+    score_col = (_score_col(score) if scores
+                 else np.full(n, b"", dtype="S1"))
+    strand = np.where(inv, np.array(b"-"), np.array(b"+"))
+    ones = np.full(n, b"1", dtype="S1")
+    a_col = np.full(n, b"a", dtype="S1")
+    empty = np.full(n, b"", dtype="S1")
+
+    return _join_records([
+        id_col, seq_col.astype(bytes), score_col, ones, a_col,
+        _int_col(lens), strand, frag_name.astype(bytes),
+        _int_col(local_pos), empty, _int_col(errs)])
+
+
+def write_unique(out: IO, rs: ReadSet, result: MatchResult,
                  texts: List[TextFile], scores: bool) -> int:
     """Final output pass in read order; returns the unique-hit count
     (printed as 'unique: N' on stderr by the CLI)."""
-    unique = 0
-    for pid in range(rs.num_reads):
-        st = result.st[pid]
-        if st != STRAIGHT and st != REVERSE:
-            continue
-        codes = rs.codes(pid)
-        seq = _seq_str(codes if st == STRAIGHT
-                       else reverse_complement(codes))
-        ranges = texts[result.fileid[pid]].packed.ranges
-        frag_name, frag_off = ranges[result.frag[pid]]
-        score_field = format_score(result.score[pid]) if scores else ""
-        out.write(
-            f"{rs.ids[pid]}\t{seq}\t{score_field}\t1\ta\t{len(codes)}\t"
-            f"{'+' if st == STRAIGHT else '-'}\t{frag_name}\t"
-            f"{int(result.pos[pid]) - frag_off + 1}\t\t"
-            f"{int(result.errs[pid])}\n")
-        unique += 1
-    return unique
+    pids = np.flatnonzero((result.st == STRAIGHT) | (result.st == REVERSE))
+    blob = _format_records(
+        rs, pids, result.st[pids] == REVERSE, result.fileid[pids],
+        result.frag[pids], result.pos[pids], result.errs[pids],
+        result.score[pids], texts, scores)
+    _write_bytes(out, blob)
+    return int(pids.size)
 
 
-def write_all(out: IO[str], rs: ReadSet,
+def write_all_arrays(out: IO, rs: ReadSet, cols, texts: List[TextFile],
+                     scores: bool) -> int:
+    """matchAll output from the accumulator's sorted/deduped column arrays
+    (driver.run_match_all(as_arrays=True)). The reference's ordering is
+    thread-interleaved and nondeterministic
+    (matchAllImplementation.cpp:467-533); we print read-major, hits per
+    read in unified (sorted) order — compare as record sets."""
+    pid, k, pos, fid, frag, score, inv = cols
+    blob = _format_records(rs, pid, inv.astype(bool), fid.astype(np.int64),
+                           frag.astype(np.int64), pos, k, score, texts,
+                           scores)
+    _write_bytes(out, blob)
+    return int(pid.size)
+
+
+def write_all(out: IO, rs: ReadSet,
               hits: Dict[int, List[Tuple]], texts: List[TextFile],
               scores: bool) -> int:
-    """matchAll output. The reference's ordering is thread-interleaved and
-    nondeterministic (matchAllImplementation.cpp:467-533); we print in read
-    order, hits per read in unified (sorted) order — compare as record
-    sets against the reference."""
-    total = 0
-    for pid in range(rs.num_reads):
-        lst = hits.get(pid)
-        if not lst:
-            continue
-        codes = rs.codes(pid)
-        seq_f = _seq_str(codes)
-        seq_r = _seq_str(reverse_complement(codes))
-        for (k, pos, fileid, frag, score, inverted) in lst:
-            ranges = texts[fileid].packed.ranges
-            frag_name, frag_off = ranges[frag]
-            score_field = format_score(score) if scores else ""
-            out.write(
-                f"{rs.ids[pid]}\t{seq_r if inverted else seq_f}\t"
-                f"{score_field}\t1\ta\t{len(codes)}\t"
-                f"{'-' if inverted else '+'}\t{frag_name}\t"
-                f"{pos - frag_off + 1}\t\t{k}\n")
-            total += 1
-    return total
+    """matchAll output from the {patid: [(k, pos, fileid, frag, score,
+    inverted), ...]} dict form (small runs / tests)."""
+    npid = sum(len(v) for v in hits.values())
+    cols = [np.empty(npid, np.int64) for _ in range(5)] \
+        + [np.empty(npid, np.float32), np.empty(npid, bool)]
+    i = 0
+    for pid in sorted(hits):
+        for (k, pos, fileid, frag, score, inverted) in hits[pid]:
+            for c, v in zip(cols, (pid, k, pos, fileid, frag, score,
+                                   inverted)):
+                c[i] = v
+            i += 1
+    return write_all_arrays(out, rs, tuple(cols), texts, scores)

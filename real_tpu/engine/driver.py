@@ -99,18 +99,22 @@ def _shard_bounds(num_windows: int, num_shards: int) -> List[Tuple[int, int]]:
             for s in range(0, num_windows, per)]
 
 
-def _bsearch_steps_bb(bb, cand_cap: int) -> int:
-    """Static in-bucket binary-search depth for find_survivors.
+def _bsearch_steps_static(num_windows: int, cand_cap: int,
+                          extra: int = 0) -> int:
+    """Static in-bucket binary-search depth for find_survivors, chosen on
+    the HOST from the shard's window count alone — no device sync.
 
-    0 when no bucket holds more than cand_cap entries (candidates can be
-    read straight from bucket begin); else enough bisection steps to
-    locate the exact equal-range begin in the fullest bucket, rounded up
-    to a multiple of 4 to limit recompiles across shards."""
-    occ = int(jnp.max(bb[..., 1:] - bb[..., :-1]))
-    if occ <= cand_cap:
-        return 0
+    Sized to converge the equal-range bisection for buckets up to 64x the
+    mean occupancy (way past Poisson tails on real genomes). A deeper
+    bucket only over-approximates its candidate range, which at worst
+    raises a spurious overflow -> escalation (each escalation level adds
+    bisection steps); it can never drop a true hit, because the K lanes
+    read from a conservative `begin` always cover the whole equal range
+    whenever count <= K."""
+    avg = max(num_windows / float(1 << 22), 1.0)
+    occ = max(64.0 * avg, float(2 * cand_cap))
     steps = int(np.ceil(np.log2(occ + 1)))
-    return -(-steps // 4) * 4
+    return min(-(-steps // 4) * 4 + extra, 30)
 
 
 def _plan_shards(cfg: RealConfig, text: PackedText) -> int:
@@ -123,11 +127,12 @@ def _plan_shards(cfg: RealConfig, text: PackedText) -> int:
                                   reserved_bytes=reserved)
 
 
-def _step_kwargs(cfg, cand_cap, survivor_cap, score_mode, tables):
+def _step_kwargs(cfg, cand_cap, survivor_cap, score_mode, tables,
+                 esc_factor: int = 1):
     return dict(tables=tables, seedl=cfg.seedl, seedkmax=cfg.seedkmax,
                 totalkmax=cfg.totalkmax, cand_cap=cand_cap,
                 survivor_cap=survivor_cap, scores=cfg.scores,
-                score_mode=score_mode)
+                score_mode=score_mode, esc_factor=esc_factor)
 
 
 @dataclasses.dataclass
@@ -195,13 +200,22 @@ class _Progress:
 
 def _foreach_shard_seq(cfg: RealConfig, texts: List[TextFile], cand_cap,
                        visit, prog: Optional["_Progress"] = None,
-                       skip_units: int = 0):
+                       skip_units: int = 0, extra_steps: int = 0):
     """Sequential (1-device) outer loop: for each text file and index
     shard, call visit(fi, text, index, bsearch_steps). The first
     skip_units (file, shard) units are skipped entirely (checkpoint
-    resume) — their index builds never run."""
+    resume) — their index builds never run.
+
+    The loop never syncs with the device: builds and match steps are
+    dispatched back-to-back, so the device pipelines shard s's matching
+    with shard s+1's index build (the reference overlaps these with a
+    reader thread + OpenMP team, matchUniqueImplementation.cpp:1253-1297).
+    visit may return a sync handle (any device array of its last dispatch);
+    at most 2 units are kept in flight so queued index buffers stay
+    HBM-bounded."""
     prog = prog or _Progress(cfg.verbose)
     unit = 0
+    inflight: List = []
     for fi, tf in enumerate(texts):
         if not _text_usable(cfg, tf, verbose=True):
             continue
@@ -213,27 +227,33 @@ def _foreach_shard_seq(cfg: RealConfig, texts: List[TextFile], cand_cap,
             unit += 1
             if unit <= skip_units:
                 continue
+            while len(inflight) >= 2:
+                jax.block_until_ready(inflight.pop(0))
             with prog.phase("index_build"):
                 index = _build(cfg, text, start=s, num_windows=e - s)
-                steps = _bsearch_steps_bb(index.bb, cand_cap)
+            steps = _bsearch_steps_static(e - s, cand_cap, extra_steps)
             prog.event(f"file {fi}: index shard {si + 1}/{len(bounds)} "
-                       f"built ({e - s} windows, bsearch={steps})")
+                       f"dispatched ({e - s} windows, bsearch={steps})")
             with prog.phase("match"):
-                visit(fi, text, index, steps)
+                handle = visit(fi, text, index, steps)
+            if handle is not None:
+                inflight.append(handle)
 
 
 def _foreach_shard_mesh(cfg: RealConfig, texts: List[TextFile], cand_cap,
                         visit, prog: Optional["_Progress"] = None,
-                        skip_units: int = 0):
+                        skip_units: int = 0, extra_steps: int = 0):
     """Mesh outer loop: for each text file, build n_shard index shards at
     once per pass and call visit(fi, text, mesh, (sig_hi, sig, pos, bb),
-    bsearch_steps)."""
+    bsearch_steps). Sync-free dispatch with a 2-pass in-flight bound,
+    like _foreach_shard_seq."""
     from real_tpu.index.hostbuild import _round16
     from real_tpu.parallel.mesh import build_sharded_index, make_mesh
 
     prog = prog or _Progress(cfg.verbose)
     n_dev = len(jax.devices())
     unit = 0
+    inflight: List = []
     for fi, tf in enumerate(texts):
         if not _text_usable(cfg, tf, verbose=True):
             continue
@@ -251,16 +271,20 @@ def _foreach_shard_mesh(cfg: RealConfig, texts: List[TextFile], cand_cap,
             unit += 1
             if unit <= skip_units:
                 continue
+            while len(inflight) >= 2:
+                jax.block_until_ready(inflight.pop(0))
             with prog.phase("index_build"):
                 arrays = build_sharded_index(
                     text.words, text.nbits, text.ncum, jnp.int32(text.n),
                     start, seedl=cfg.seedl, per_shard=per_shard, mesh=mesh)
-                steps = _bsearch_steps_bb(arrays[3], cand_cap)
-            prog.event(f"file {fi}: index pass {r + 1}/{rounds} built "
+            steps = _bsearch_steps_static(per_shard, cand_cap, extra_steps)
+            prog.event(f"file {fi}: index pass {r + 1}/{rounds} dispatched "
                        f"({n_shard} shards x {per_shard} windows, "
                        f"bsearch={steps})")
             with prog.phase("match"):
-                visit(fi, text, mesh, arrays, steps)
+                handle = visit(fi, text, mesh, arrays, steps)
+            if handle is not None:
+                inflight.append(handle)
 
 
 def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
@@ -280,7 +304,12 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
     scoring = Scoring(cfg.similarity, cfg.gc, cfg.trans, cfg.err,
                       cfg.gcmut_bias)
     tables = score_tables(scoring) if cfg.scores else None
-    kw = _step_kwargs(cfg, cand_cap, survivor_cap, score_mode, tables)
+    # device-side x4 cap escalation absorbs the common overflow level
+    # in-step (matchstep.survivors_with_escalation); reads that still
+    # overflow rerun host-side below with x16 caps per recursion depth
+    kw = _step_kwargs(cfg, cand_cap, survivor_cap, score_mode, tables,
+                      esc_factor=4)
+    extra_steps = 8 * _depth
 
     result = MatchResult(
         st=np.zeros(numpat, np.int32), pos=np.zeros(numpat, np.int32),
@@ -361,8 +390,10 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
                 overflows.setdefault(bi, []).append(of)
                 tick(bi, b)
             checkpoint_unit()
+            return states[len(batches) - 1].st if batches else None
 
-        _foreach_shard_mesh(cfg, texts, cand_cap, visit, prog, skip_units)
+        _foreach_shard_mesh(cfg, texts, cand_cap, visit, prog, skip_units,
+                            extra_steps)
     else:
         def visit(fi, text, index, steps):
             done_reads[0] = 0
@@ -377,8 +408,10 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
                 overflows.setdefault(bi, []).append(surv.overflow)
                 tick(bi, b)
             checkpoint_unit()
+            return states[len(batches) - 1].st if batches else None
 
-        _foreach_shard_seq(cfg, texts, cand_cap, visit, prog, skip_units)
+        _foreach_shard_seq(cfg, texts, cand_cap, visit, prog, skip_units,
+                           extra_steps)
 
     # one D2H round-trip for everything: concatenate per-batch state and
     # overflow on device, fetch once
@@ -411,10 +444,10 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
                 f"{len(over_ids)} reads overflow candidate caps even at "
                 f"cand_cap={cand_cap}")
         print(f"rerunning {len(over_ids)} overflowing reads with "
-              f"cand_cap={cand_cap * 4}", file=sys.stderr)
+              f"cand_cap={cand_cap * 16}", file=sys.stderr)
         sub = run_match_unique(
             cfg, rs, texts, score_mode=score_mode, patid_filter=over_ids,
-            cand_cap=cand_cap * 4, survivor_cap=survivor_cap * 4,
+            cand_cap=cand_cap * 16, survivor_cap=survivor_cap * 16,
             _depth=_depth + 1)
         for f in ("st", "pos", "frag", "fileid", "errs", "score"):
             getattr(result, f)[over_ids] = getattr(sub, f)[over_ids]
@@ -428,7 +461,8 @@ class Batch:
     patids: np.ndarray     # int64 [n] (n <= B)
     patl: int
     codes: jnp.ndarray     # uint8 [B, patl] (padded rows zero)
-    quals: jnp.ndarray     # int8  [B, patl]
+    quals: Optional[jnp.ndarray]  # int8 [B, patl]; None = FASTA constant 30
+                                  # (materialized on device, never uploaded)
     valid: jnp.ndarray     # bool  [B]
 
 
@@ -452,8 +486,6 @@ def _make_batches(cfg: RealConfig, rs: reads_io.ReadSet,
                 warned_short = True
             continue
         codes_all, quals_all = rs.dense_batch(patids)
-        if quals_all is None:
-            quals_all = np.full_like(codes_all, 30, dtype=np.int8)
         valid_all = (codes_all <= 3).all(axis=1)
         # one device shape per length bucket: tail batches pad to the same
         # row count as full batches (jit compiles once per bucket).
@@ -466,21 +498,24 @@ def _make_batches(cfg: RealConfig, rs: reads_io.ReadSet,
         rows = nb * bucket_rows
         n = len(patids)
         codes = np.zeros((rows, patl), np.uint8)
-        quals = np.full((rows, patl), 30, np.int8)
-        valid = np.zeros(rows, bool)
         codes[:n] = codes_all & 3   # codes 4 (N) masked via valid
-        quals[:n] = quals_all
+        valid = np.zeros(rows, bool)
         valid[:n] = valid_all
         dcodes = jnp.asarray(codes)
-        dquals = jnp.asarray(quals)
         dvalid = jnp.asarray(valid)
+        dquals = None
+        if quals_all is not None:
+            quals = np.full((rows, patl), 30, np.int8)
+            quals[:n] = quals_all
+            dquals = jnp.asarray(quals)
         for k in range(nb):
             o = k * bucket_rows
             ids = patids[o:o + bucket_rows]
             batches.append(Batch(
                 patids=ids, patl=patl,
                 codes=dcodes[o:o + bucket_rows],
-                quals=dquals[o:o + bucket_rows],
+                quals=None if dquals is None
+                else dquals[o:o + bucket_rows],
                 valid=dvalid[o:o + bucket_rows]))
     return batches
 
@@ -525,27 +560,24 @@ class _HitAccumulator:
             sv.score[:n][rr, jj].astype(np.float32),
             sv.inv[:n][rr, jj]))
 
-    def finalize(self) -> Dict[int, List[tuple]]:
+    _EMPTY = tuple(np.zeros(0, dt) for dt in
+                   (np.int64, np.int64, np.int64, np.int64, np.int64,
+                    np.float32, bool))
+
+    def finalize_arrays(self) -> tuple:
+        """Sorted + deduped hit columns
+        (pid, k, pos, fileid, frag, score, inv)."""
         if not self.cols:
-            return {}
-        pid, k, pos, fid, frag, score, inv = (
-            np.concatenate([c[i] for c in self.cols]) for i in range(7))
-        # sort by (pid; k, pos, fileid, frag, score, inv) — the reference's
-        # MatchPosAndError ordering (matchAllImplementation.cpp:121-148)
-        order = np.lexsort((inv, score, frag, fid, pos, k, pid))
-        pid, k, pos, fid, frag, score, inv = (
-            a[order] for a in (pid, k, pos, fid, frag, score, inv))
-        # dedup identical consecutive records (unifyMatches :150-161)
-        keep = np.ones(len(pid), bool)
-        if len(pid) > 1:
-            same = ((pid[1:] == pid[:-1]) & (k[1:] == k[:-1])
-                    & (pos[1:] == pos[:-1]) & (fid[1:] == fid[:-1])
-                    & (frag[1:] == frag[:-1]) & (score[1:] == score[:-1])
-                    & (inv[1:] == inv[:-1]))
-            keep[1:] = ~same
-        pid, k, pos, fid, frag, score, inv = (
-            a[keep] for a in (pid, k, pos, fid, frag, score, inv))
+            return self._EMPTY
+        cols = tuple(np.concatenate([c[i] for c in self.cols])
+                     for i in range(7))
+        return _sort_dedup_hits(cols)
+
+    def finalize(self) -> Dict[int, List[tuple]]:
+        pid, k, pos, fid, frag, score, inv = self.finalize_arrays()
         out: Dict[int, List[tuple]] = {}
+        if len(pid) == 0:
+            return out
         bounds = np.flatnonzero(np.diff(pid)) + 1
         starts = np.concatenate([[0], bounds])
         ends = np.concatenate([bounds, [len(pid)]])
@@ -556,18 +588,39 @@ class _HitAccumulator:
         return out
 
 
+def _sort_dedup_hits(cols: tuple) -> tuple:
+    """Sort by (pid; k, pos, fileid, frag, score, inv) — the reference's
+    MatchPosAndError ordering (matchAllImplementation.cpp:121-148) — and
+    dedup identical consecutive records (unifyMatches :150-161)."""
+    pid, k, pos, fid, frag, score, inv = cols
+    order = np.lexsort((inv, score, frag, fid, pos, k, pid))
+    pid, k, pos, fid, frag, score, inv = (
+        a[order] for a in (pid, k, pos, fid, frag, score, inv))
+    keep = np.ones(len(pid), bool)
+    if len(pid) > 1:
+        same = ((pid[1:] == pid[:-1]) & (k[1:] == k[:-1])
+                & (pos[1:] == pos[:-1]) & (fid[1:] == fid[:-1])
+                & (frag[1:] == frag[:-1]) & (score[1:] == score[:-1])
+                & (inv[1:] == inv[:-1]))
+        keep[1:] = ~same
+    return tuple(a[keep] for a in (pid, k, pos, fid, frag, score, inv))
+
+
 def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
                   texts: List[TextFile],
                   score_mode: Optional[str] = None,
                   patid_filter: Optional[np.ndarray] = None,
                   cand_cap: Optional[int] = None,
                   survivor_cap: Optional[int] = None,
-                  _depth: int = 0) -> Dict[int, List[tuple]]:
+                  as_arrays: bool = False,
+                  _depth: int = 0):
     """Collect every qualifying hit per read.
 
     Returns {patid: [(k, pos, fileid, frag, score, inverted), ...]} deduped
     and sorted by the reference's MatchPosAndError ordering
-    (matchAllImplementation.cpp:121-160)."""
+    (matchAllImplementation.cpp:121-160) — or, with as_arrays=True, the
+    equivalent sorted column arrays (pid, k, pos, fileid, frag, score, inv)
+    (no per-hit Python objects; use cli.output.write_all_arrays)."""
     score_mode = score_mode or default_score_mode()
     cand_cap = cand_cap or cfg.cand_cap
     survivor_cap = survivor_cap or cfg.survivor_cap
@@ -586,12 +639,17 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
                     for bi, b in enumerate(batches)}
     acc = _HitAccumulator()
     prog = _Progress(cfg.verbose)
+    # survivors stay on device while the loop dispatches (fetching inside
+    # the loop would sync per batch and serialize host<->device); one
+    # deferred fetch per (shard, batch) after all dispatches
+    pending: List[tuple] = []
 
     if use_mesh:
         from real_tpu.parallel.mesh import sharded_match_step
 
         def visit(fi, text, mesh, arrays, steps):
             sig_hi, sig, pos, bb = arrays
+            seq = None
             for bi, b in enumerate(batches):
                 eps = np.float32(cfg.filter_value(b.patl))
                 _, seq = sharded_match_step(
@@ -600,12 +658,13 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
                     b.codes, b.quals, b.valid,
                     dummy_states[bi], jnp.int32(fi), eps, sig_hi,
                     mesh=mesh, bsearch_steps=steps, matchall=True, **kw)
-                acc.add(jax.tree.map(np.asarray, seq), b.patids, fi,
-                        len(b.patids), overflow)
+                pending.append((seq, b.patids, fi, len(b.patids)))
+            return seq.valid if seq is not None else None
 
         _foreach_shard_mesh(cfg, texts, cand_cap, visit, prog)
     else:
         def visit(fi, text, index, steps):
+            surv = None
             for bi, b in enumerate(batches):
                 eps = np.float32(cfg.filter_value(b.patl))
                 _, surv = match_step(
@@ -614,15 +673,33 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
                     b.codes, b.quals, b.valid,
                     dummy_states[bi], jnp.int32(fi), eps, index.sig_hi,
                     matchall=True, bsearch_steps=steps, **kw)
-                acc.add(jax.tree.map(np.asarray, surv), b.patids, fi,
-                        len(b.patids), overflow)
+                pending.append((surv, b.patids, fi, len(b.patids)))
+            return surv.valid if surv is not None else None
 
         _foreach_shard_seq(cfg, texts, cand_cap, visit, prog)
 
-    hits = acc.finalize()
+    for surv, patids, fi, n in pending:
+        acc.add(jax.tree.map(np.asarray, surv), patids, fi, n, overflow)
     prog.summary()
 
     over_ids = np.flatnonzero(overflow)
+    if as_arrays:
+        cols = acc.finalize_arrays()
+        if len(over_ids):
+            if _depth >= 4:
+                raise RuntimeError(
+                    "matchAll overflow beyond escalation limit")
+            sub = run_match_all(cfg, rs, texts, score_mode=score_mode,
+                                patid_filter=over_ids,
+                                cand_cap=cand_cap * 4,
+                                survivor_cap=survivor_cap * 4,
+                                as_arrays=True, _depth=_depth + 1)
+            keep = ~np.isin(cols[0], over_ids)
+            cols = _sort_dedup_hits(tuple(
+                np.concatenate([a[keep], b]) for a, b in zip(cols, sub)))
+        return cols
+
+    hits = acc.finalize()
     if len(over_ids):
         if _depth >= 4:
             raise RuntimeError("matchAll overflow beyond escalation limit")

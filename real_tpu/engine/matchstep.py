@@ -607,11 +607,85 @@ def fold_unique(state: MatchState, surv: Survivors, fileid,
 # full step
 # ---------------------------------------------------------------------------
 
+def survivors_with_escalation(
+        index_sig, index_pos, index_bb,
+        words, nbits, ncum, frag_offsets,
+        codes, quals, read_valid,
+        *, tables, seedl: int, seedkmax: int, totalkmax: int,
+        cand_cap: int, survivor_cap: int, scores: bool, score_mode: str,
+        bsearch_steps: int, esc_factor: int = 1, esc_steps: int = 4,
+        index_sig_hi=None) -> Survivors:
+    """Scored survivors of one (batch x shard), with optional DEVICE-side
+    cap escalation.
+
+    When esc_factor > 1 and any read's candidate range overflowed the caps,
+    a lax.cond branch re-verifies the WHOLE batch against the still-resident
+    index with esc_factor-times caps (and esc_steps extra bisection steps),
+    and overflowed reads take the escalated lanes. This absorbs the common
+    single-level escalation with no host round-trip and no index rebuild —
+    the reference has no caps at all (std::equal_range is unbounded,
+    match.hpp:380-382); only reads that STILL overflow at the escalated
+    caps are reported for the driver's host-side rerun. Exactness: a
+    non-overflowing probe examines its full equal range, so escalating
+    only overflowed reads reproduces the uncapped result; lane padding
+    keeps survivors in reference merge order."""
+    if quals is None:
+        # FASTA reads: constant quality 30 (Pattern.hpp:42-45), materialized
+        # on device so the host never uploads a quality matrix
+        quals = jnp.full(codes.shape, 30, jnp.int8)
+
+    def run(K, S, steps):
+        surv, tw = find_survivors(
+            index_sig, index_pos, index_bb,
+            words, nbits, ncum, frag_offsets,
+            codes, quals, read_valid,
+            seedl=seedl, seedkmax=seedkmax, totalkmax=totalkmax,
+            cand_cap=K, survivor_cap=S,
+            bsearch_steps=steps, index_sig_hi=index_sig_hi)
+        if scores:
+            surv = score_survivors(surv, tw, codes, quals, tables,
+                                   score_mode=score_mode)
+        return surv
+
+    surv = run(cand_cap, survivor_cap, bsearch_steps)
+    if esc_factor <= 1:
+        return surv
+
+    ES = survivor_cap * esc_factor
+
+    def pad_lanes(a):
+        return jnp.pad(a, ((0, 0), (0, ES - survivor_cap)))
+
+    def escalate(_):
+        return run(cand_cap * esc_factor, ES, bsearch_steps + esc_steps)
+
+    def no_escalate(_):
+        z = jnp.zeros(surv.valid.shape[:1] + (ES,), jnp.int32)
+        return Survivors(valid=z.astype(bool), inv=z.astype(bool), pos=z,
+                         frag=z, k=z, score=z.astype(jnp.float32),
+                         overflow=jnp.zeros_like(surv.overflow))
+
+    esc = lax.cond(surv.overflow.any(), escalate, no_escalate, None)
+    o = surv.overflow
+
+    def sel(a_esc, a_norm):
+        return jnp.where(o[:, None], a_esc, pad_lanes(a_norm))
+
+    return Survivors(
+        valid=sel(esc.valid, surv.valid),
+        inv=sel(esc.inv, surv.inv),
+        pos=sel(esc.pos, surv.pos),
+        frag=sel(esc.frag, surv.frag),
+        k=sel(esc.k, surv.k),
+        score=sel(esc.score, surv.score),
+        overflow=jnp.where(o, esc.overflow, False))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("tables", "seedl", "seedkmax", "totalkmax", "cand_cap",
                      "survivor_cap", "scores", "score_mode", "matchall",
-                     "bsearch_steps"))
+                     "bsearch_steps", "esc_factor", "esc_steps"))
 def match_step(index_sig, index_pos, index_bb,
                words, nbits, ncum, frag_offsets,
                codes, quals, read_valid,
@@ -620,23 +694,24 @@ def match_step(index_sig, index_pos, index_bb,
                *, tables=None, seedl: int, seedkmax: int, totalkmax: int,
                cand_cap: int, survivor_cap: int,
                scores: bool, score_mode: str, matchall: bool,
-               bsearch_steps: int = 0):
+               bsearch_steps: int = 0, esc_factor: int = 1,
+               esc_steps: int = 4):
     """One (read batch x index shard) step. Returns (new_state, survivors).
 
     `tables` is the static ScoreTables constant set (scoring/scoring.py),
-    baked into the compiled program; None when scores=False.
+    baked into the compiled program; None when scores=False. quals=None
+    means FASTA constant quality 30, materialized on device.
     matchall=True skips the automaton (hits go to the host for dedup +
     printing, matchAllImplementation.cpp:99-185)."""
-    surv, tw = find_survivors(
+    surv = survivors_with_escalation(
         index_sig, index_pos, index_bb,
         words, nbits, ncum, frag_offsets,
         codes, quals, read_valid,
-        seedl=seedl, seedkmax=seedkmax, totalkmax=totalkmax,
-        cand_cap=cand_cap, survivor_cap=survivor_cap,
-        bsearch_steps=bsearch_steps, index_sig_hi=index_sig_hi)
-    if scores:
-        surv = score_survivors(surv, tw, codes, quals, tables,
-                               score_mode=score_mode)
+        tables=tables, seedl=seedl, seedkmax=seedkmax, totalkmax=totalkmax,
+        cand_cap=cand_cap, survivor_cap=survivor_cap, scores=scores,
+        score_mode=score_mode, bsearch_steps=bsearch_steps,
+        esc_factor=esc_factor, esc_steps=esc_steps,
+        index_sig_hi=index_sig_hi)
     if matchall:
         return state, surv
     new_state = fold_unique(state, surv, fileid, epsilon, scores=scores)

@@ -66,11 +66,20 @@ class ReadSet:
 
     def dense_batch(self, patids: np.ndarray):
         """Dense [B, L] uint8 code matrix (+ qualities) for same-length
-        reads."""
+        reads. Contiguous uniform-length runs (the overwhelmingly common
+        case: one length bucket covering the whole file) reshape the flat
+        store as a zero-copy view instead of a fancy-index gather."""
         length = int(self.lengths[patids[0]])
         assert (self.lengths[patids] == length).all()
-        idx = (self.offsets[patids][:, None]
-               + np.arange(length, dtype=np.int64)[None, :])
+        o = self.offsets[patids]
+        if len(o) > 1 and (np.diff(o) == length).all():
+            lo, hi = int(o[0]), int(o[-1]) + length
+            codes = self.codes_flat[lo:hi].reshape(-1, length)
+            quals = None
+            if self.quals_flat is not None:
+                quals = self.quals_flat[lo:hi].reshape(-1, length)
+            return codes, quals
+        idx = o[:, None] + np.arange(length, dtype=np.int64)[None, :]
         codes = self.codes_flat[idx]
         quals = None
         if self.quals_flat is not None:

@@ -33,9 +33,8 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from real_tpu.engine.matchstep import (MatchState, Survivors,
-                                       find_survivors, fold_unique,
-                                       score_survivors)
+from real_tpu.engine.matchstep import (MatchState, Survivors, fold_unique,
+                                       survivors_with_escalation)
 from real_tpu.index.signatures import NUM_LISTS
 from real_tpu.text.packed import PackedText
 
@@ -89,7 +88,7 @@ def build_sharded_index(words, nbits, ncum, n, start=0, *, seedl: int,
     jax.jit,
     static_argnames=("tables", "seedl", "seedkmax", "totalkmax", "cand_cap",
                      "survivor_cap", "scores", "score_mode", "mesh",
-                     "bsearch_steps", "matchall"))
+                     "bsearch_steps", "matchall", "esc_factor", "esc_steps"))
 def sharded_match_step(index_sig, index_pos, index_bb,
                        words, nbits, ncum, frag_offsets,     # replicated
                        codes, quals, read_valid,             # [B,...] dp
@@ -98,7 +97,8 @@ def sharded_match_step(index_sig, index_pos, index_bb,
                        *, tables=None, seedl: int, seedkmax: int,
                        totalkmax: int, cand_cap: int, survivor_cap: int,
                        scores: bool, score_mode: str, mesh: Mesh,
-                       bsearch_steps: int = 0, matchall: bool = False):
+                       bsearch_steps: int = 0, matchall: bool = False,
+                       esc_factor: int = 1, esc_steps: int = 4):
     """One full step over the mesh: every (dp, shard) device verifies its
     read slice against its index shard; survivors are all-gathered over
     'shard' and folded in shard-major (= reference block-major) order.
@@ -110,15 +110,14 @@ def sharded_match_step(index_sig, index_pos, index_bb,
                    codes, quals, read_valid, state, fileid, epsilon):
         sig, pos, bb = sig[0], pos[0], bb[0]   # drop the shard dim
         sig_hi = sig_hi[0] if sig_hi is not None else None
-        surv, tw = find_survivors(
+        surv = survivors_with_escalation(
             sig, pos, bb, words, nbits, ncum, frag_offsets,
             codes, quals, read_valid,
-            seedl=seedl, seedkmax=seedkmax, totalkmax=totalkmax,
-            cand_cap=cand_cap, survivor_cap=survivor_cap,
-            bsearch_steps=bsearch_steps, index_sig_hi=sig_hi)
-        if scores:
-            surv = score_survivors(surv, tw, codes, quals, tables,
-                                   score_mode=score_mode)
+            tables=tables, seedl=seedl, seedkmax=seedkmax,
+            totalkmax=totalkmax, cand_cap=cand_cap,
+            survivor_cap=survivor_cap, scores=scores, score_mode=score_mode,
+            bsearch_steps=bsearch_steps, esc_factor=esc_factor,
+            esc_steps=esc_steps, index_sig_hi=sig_hi)
         # gather survivors over the shard axis: [n_shard, B_loc, S]
         gathered = jax.tree.map(
             lambda a: lax.all_gather(a, "shard", axis=0, tiled=False),
@@ -147,7 +146,7 @@ def sharded_match_step(index_sig, index_pos, index_bb,
         in_specs=(P("shard"), P("shard"), P("shard"),
                   jax.tree.map(lambda _: P("shard"), index_sig_hi),
                   P(), P(), P(), P(),
-                  P("dp"), P("dp"), P("dp"),
+                  P("dp"), jax.tree.map(lambda _: P("dp"), quals), P("dp"),
                   jax.tree.map(lambda _: P("dp"), state),
                   P(), P()),
         out_specs=(jax.tree.map(lambda _: P("dp"), state), out_spec),
