@@ -100,7 +100,10 @@ def _format_records(rs: ReadSet, pids: np.ndarray, inv: np.ndarray,
     n = pids.size
 
     ids = rs.ids
-    id_col = np.array([ids[p].encode("latin-1") for p in pids.tolist()])
+    if hasattr(ids, "bytes_at"):
+        id_col = np.array([ids.bytes_at(p) for p in pids.tolist()])
+    else:
+        id_col = np.array([ids[p].encode("latin-1") for p in pids.tolist()])
 
     seq_col = np.empty(n, dtype=object)
     lens = rs.lengths[pids]

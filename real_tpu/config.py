@@ -44,6 +44,12 @@ class RealConfig:
     # with 4x-escalated caps (engine/driver.py), preserving exactness.
     cand_cap: int = 8            # max candidates examined per (read, probe)
     survivor_cap: int = 8        # max verified hits folded per read per step
+    resident_reads_bytes: int = 0     # keep packed reads device-resident
+                                      # across shard passes up to this many
+                                      # bytes (0 = 5% of HBM); above it the
+                                      # streaming prefetch pipeline
+                                      # (io/pipeline.py) re-streams reads
+                                      # per index shard with bounded HBM
     index_shards: int = 0        # index shards; 0 = plan from -f HBM budget
                                  # (parallel/plan.py). Shards beyond the mesh
                                  # shard axis run as sequential passes.

@@ -39,16 +39,28 @@ import jax.numpy as jnp
 import numpy as np
 
 from real_tpu.config import RealConfig
-from real_tpu.engine import matchstep
 from real_tpu.engine.matchstep import MatchState, initial_state, match_step
 from real_tpu.index.build import build_index
-from real_tpu.io import fasta, reads as reads_io
+from real_tpu.io import fasta, pipeline, reads as reads_io
 from real_tpu.parallel import plan
 from real_tpu.scoring.scoring import Scoring, score_tables
 from real_tpu.text.packed import PackedText, build_packed_text
 
 _REMAP = np.frombuffer(b"ACGTN", dtype=np.uint8)
 MAX_FRAGMENTS_PER_FILE = 1 << 16   # UniqueMatchInfo fragmentbits
+
+
+def _fetch_tree(tree):
+    """D2H fetch of a pytree: start ALL transfers async, then materialize.
+    Synchronous per-buffer fetches pay a full round trip each on
+    remote/tunneled devices (measured ~1s per buffer regardless of size);
+    async-first pipelines them into one wait."""
+    def _start(a):
+        if hasattr(a, "copy_to_host_async"):
+            a.copy_to_host_async()
+        return a
+    jax.tree.map(_start, tree)
+    return jax.tree.map(np.asarray, tree)
 
 
 def default_score_mode() -> str:
@@ -251,7 +263,7 @@ def _foreach_shard_mesh(cfg: RealConfig, texts: List[TextFile], cand_cap,
     from real_tpu.parallel.mesh import build_sharded_index, make_mesh
 
     prog = prog or _Progress(cfg.verbose)
-    n_dev = len(jax.devices())
+    n_dev = len(jax.local_devices())
     unit = 0
     inflight: List = []
     for fi, tf in enumerate(texts):
@@ -298,7 +310,7 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
     cand_cap = cand_cap or cfg.cand_cap
     survivor_cap = survivor_cap or cfg.survivor_cap
     numpat = rs.num_reads
-    n_dev = len(jax.devices())
+    n_dev = len(jax.local_devices())
     use_mesh = cfg.use_mesh if cfg.use_mesh is not None else n_dev > 1
 
     scoring = Scoring(cfg.similarity, cfg.gc, cfg.trans, cfg.err,
@@ -317,15 +329,16 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
         errs=np.zeros(numpat, np.int32),
         score=np.full(numpat, -np.finfo(np.float32).max, np.float32))
 
-    batches = _make_batches(cfg, rs, patid_filter,
-                            row_align=n_dev if use_mesh else 1)
+    source = _make_source(cfg, rs, patid_filter,
+                          row_align=n_dev if use_mesh else 1)
+    plans = source.plans
     states: Dict[int, MatchState] = {
-        bi: initial_state(b.codes.shape[0]) for bi, b in enumerate(batches)}
+        bi: initial_state(p.rows) for bi, p in enumerate(plans)}
     overflow = np.zeros(numpat, bool)
     overflows: Dict[int, list] = {}
     prog = _Progress(cfg.verbose)
     done_reads = [0]
-    every = max(1, len(batches) // 8)
+    every = max(1, len(plans) // 8)
 
     # checkpoint/resume (SURVEY §5.4): state = per-batch MatchState +
     # reduced overflow + completed-unit cursor; only the top-level pass
@@ -335,13 +348,13 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
     unit_done = [0]
     if cfg.checkpoint and _depth == 0 and patid_filter is None:
         from real_tpu.engine import checkpoint as ckpt_mod
-        fp = ckpt_mod.fingerprint(cfg, texts, numpat, len(batches),
+        fp = ckpt_mod.fingerprint(cfg, texts, numpat, len(plans),
                                   cand_cap, survivor_cap)
         ck = ckpt_mod.Checkpoint(cfg.checkpoint, fp)
         data = ck.load()
         if data:
             skip_units = unit_done[0] = data["units_done"]
-            for bi in range(len(batches)):
+            for bi in range(len(plans)):
                 states[bi] = MatchState(**{
                     f: jnp.asarray(data["states"][bi][f])
                     for f in ("st", "pos", "frag", "fileid", "errs",
@@ -353,15 +366,14 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
         unit_done[0] += 1
         if ck is None:
             return
-        host_states = [
-            {f: np.asarray(getattr(states[bi], f))
+        host_states = _fetch_tree([
+            {f: getattr(states[bi], f)
              for f in ("st", "pos", "frag", "fileid", "errs", "score")}
-            for bi in range(len(batches))]
+            for bi in range(len(plans))])
         host_over = [
             np.asarray(functools.reduce(jnp.logical_or, overflows[bi]))
-            if bi in overflows else np.zeros(batches[bi].codes.shape[0],
-                                             bool)
-            for bi in range(len(batches))]
+            if bi in overflows else np.zeros(plans[bi].rows, bool)
+            for bi in range(len(plans))]
         ck.save(unit_done[0], host_states, host_over)
         prog.event(f"checkpoint saved ({unit_done[0]} units)")
 
@@ -369,7 +381,7 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
         # processed/numpat progress contract (the reference's
         # matchUniqueImplementation.cpp:1287-1293 stderr fraction)
         done_reads[0] += len(b.patids)
-        if (bi + 1) % every == 0 or bi + 1 == len(batches):
+        if (bi + 1) % every == 0 or bi + 1 == len(plans):
             prog.event(f"  matched {done_reads[0]}/{numpat} reads "
                        f"({done_reads[0] / max(numpat, 1):.2f})")
 
@@ -379,7 +391,7 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
         def visit(fi, text, mesh, arrays, steps):
             done_reads[0] = 0
             sig_hi, sig, pos, bb = arrays
-            for bi, b in enumerate(batches):
+            for bi, b in enumerate(source):
                 eps = np.float32(cfg.filter_value(b.patl))
                 states[bi], of = sharded_match_step(
                     sig, pos, bb,
@@ -390,14 +402,14 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
                 overflows.setdefault(bi, []).append(of)
                 tick(bi, b)
             checkpoint_unit()
-            return states[len(batches) - 1].st if batches else None
+            return states[len(plans) - 1].st if plans else None
 
         _foreach_shard_mesh(cfg, texts, cand_cap, visit, prog, skip_units,
                             extra_steps)
     else:
         def visit(fi, text, index, steps):
             done_reads[0] = 0
-            for bi, b in enumerate(batches):
+            for bi, b in enumerate(source):
                 eps = np.float32(cfg.filter_value(b.patl))
                 states[bi], surv = match_step(
                     index.sig, index.pos, index.bb,
@@ -408,33 +420,30 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
                 overflows.setdefault(bi, []).append(surv.overflow)
                 tick(bi, b)
             checkpoint_unit()
-            return states[len(batches) - 1].st if batches else None
+            return states[len(plans) - 1].st if plans else None
 
         _foreach_shard_seq(cfg, texts, cand_cap, visit, prog, skip_units,
                            extra_steps)
 
     # one D2H round-trip for everything: concatenate per-batch state and
     # overflow on device, fetch once
-    allst = _concat_states([states[bi] for bi in range(len(batches))])
+    allst = _concat_states([states[bi] for bi in range(len(plans))])
     allover = [functools.reduce(jnp.logical_or, overflows[bi])
-               if bi in overflows else jnp.zeros(
-                   batches[bi].codes.shape[0], bool)
-               for bi in range(len(batches))]
+               if bi in overflows else jnp.zeros(plans[bi].rows, bool)
+               for bi in range(len(plans))]
     allover = jnp.concatenate(allover) if allover else jnp.zeros(0, bool)
-    st = jax.tree.map(np.asarray, allst)
-    over = np.asarray(allover)
+    st, over = _fetch_tree((allst, allover))
     off = 0
-    for bi, b in enumerate(batches):
-        rows = b.codes.shape[0]
-        n = len(b.patids)
-        result.st[b.patids] = st.st[off:off + n]
-        result.pos[b.patids] = st.pos[off:off + n]
-        result.frag[b.patids] = st.frag[off:off + n]
-        result.fileid[b.patids] = st.fileid[off:off + n]
-        result.errs[b.patids] = st.errs[off:off + n]
-        result.score[b.patids] = st.score[off:off + n]
-        overflow[b.patids[over[off:off + n]]] = True
-        off += rows
+    for bi, p in enumerate(plans):
+        n = len(p.patids)
+        result.st[p.patids] = st.st[off:off + n]
+        result.pos[p.patids] = st.pos[off:off + n]
+        result.frag[p.patids] = st.frag[off:off + n]
+        result.fileid[p.patids] = st.fileid[off:off + n]
+        result.errs[p.patids] = st.errs[off:off + n]
+        result.score[p.patids] = st.score[off:off + n]
+        overflow[p.patids[over[off:off + n]]] = True
+        off += p.rows
 
     prog.summary()
     over_ids = np.flatnonzero(overflow)
@@ -456,81 +465,24 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
     return result
 
 
-@dataclasses.dataclass
-class Batch:
-    patids: np.ndarray     # int64 [n] (n <= B)
-    patl: int
-    codes: jnp.ndarray     # uint8 [B, patl] (padded rows zero)
-    quals: Optional[jnp.ndarray]  # int8 [B, patl]; None = FASTA constant 30
-                                  # (materialized on device, never uploaded)
-    valid: jnp.ndarray     # bool  [B]
-
-
-def _make_batches(cfg: RealConfig, rs: reads_io.ReadSet,
-                  patid_filter: Optional[np.ndarray],
-                  row_align: int = 1) -> List[Batch]:
-    """Length-bucketed fixed-shape batches. row_align makes every batch's
-    row count divisible by the mesh dp axis."""
-    batches: List[Batch] = []
-    warned_short = False
-    B = -(-cfg.batch_size // row_align) * row_align
-    for patl, patids in sorted(rs.length_buckets().items()):
-        if patid_filter is not None:
-            patids = patids[np.isin(patids, patid_filter)]
-            if len(patids) == 0:
-                continue
-        if patl < cfg.seedl:
-            if not warned_short:
-                print(f"Skipping {len(patids)} patterns shorter than seed "
-                      "length.", file=sys.stderr)
-                warned_short = True
-            continue
-        codes_all, quals_all = rs.dense_batch(patids)
-        valid_all = (codes_all <= 3).all(axis=1)
-        # one device shape per length bucket: tail batches pad to the same
-        # row count as full batches (jit compiles once per bucket).
-        # Upload the whole bucket in ONE host->device transfer (padded to a
-        # batch multiple), then slice per batch on device — per-batch
-        # transfers are latency-bound on remote/tunneled devices.
-        bucket_rows = B if len(patids) > B else _round_b(len(patids), B)
-        bucket_rows = -(-bucket_rows // row_align) * row_align
-        nb = -(-len(patids) // bucket_rows)
-        rows = nb * bucket_rows
-        n = len(patids)
-        codes = np.zeros((rows, patl), np.uint8)
-        codes[:n] = codes_all & 3   # codes 4 (N) masked via valid
-        valid = np.zeros(rows, bool)
-        valid[:n] = valid_all
-        dcodes = jnp.asarray(codes)
-        dvalid = jnp.asarray(valid)
-        dquals = None
-        if quals_all is not None:
-            quals = np.full((rows, patl), 30, np.int8)
-            quals[:n] = quals_all
-            dquals = jnp.asarray(quals)
-        for k in range(nb):
-            o = k * bucket_rows
-            ids = patids[o:o + bucket_rows]
-            batches.append(Batch(
-                patids=ids, patl=patl,
-                codes=dcodes[o:o + bucket_rows],
-                quals=None if dquals is None
-                else dquals[o:o + bucket_rows],
-                valid=dvalid[o:o + bucket_rows]))
-    return batches
+def _make_source(cfg: RealConfig, rs: reads_io.ReadSet,
+                 patid_filter: Optional[np.ndarray],
+                 row_align: int = 1) -> pipeline.BatchSource:
+    """Length-bucketed batch source: resident (one bulk upload, reused
+    across shard passes) when the packed reads fit the HBM budget,
+    else a streaming prefetch pipeline (io/pipeline.py)."""
+    budget = cfg.resident_reads_bytes
+    if budget <= 0:
+        budget = int(0.05 * plan.hbm_bytes_per_device())
+    return pipeline.make_source(
+        rs, cfg.batch_size, cfg.seedl, patid_filter, row_align,
+        warn=lambda m: print(m, file=sys.stderr),
+        resident_budget_bytes=budget)
 
 
 @jax.jit
 def _concat_states(states: List[MatchState]) -> MatchState:
     return jax.tree.map(lambda *xs: jnp.concatenate(xs), *states)
-
-
-def _round_b(n: int, bmax: int) -> int:
-    """Pad batch rows to the next power of two (limits jit retraces)."""
-    b = 1
-    while b < n:
-        b *= 2
-    return min(b, bmax)
 
 
 # ---------------------------------------------------------------------------
@@ -624,7 +576,7 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
     score_mode = score_mode or default_score_mode()
     cand_cap = cand_cap or cfg.cand_cap
     survivor_cap = survivor_cap or cfg.survivor_cap
-    n_dev = len(jax.devices())
+    n_dev = len(jax.local_devices())
     use_mesh = cfg.use_mesh if cfg.use_mesh is not None else n_dev > 1
 
     scoring = Scoring(cfg.similarity, cfg.gc, cfg.trans, cfg.err,
@@ -632,11 +584,11 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
     tables = score_tables(scoring) if cfg.scores else None
     kw = _step_kwargs(cfg, cand_cap, survivor_cap, score_mode, tables)
 
-    batches = _make_batches(cfg, rs, patid_filter,
-                            row_align=n_dev if use_mesh else 1)
+    source = _make_source(cfg, rs, patid_filter,
+                          row_align=n_dev if use_mesh else 1)
     overflow = np.zeros(rs.num_reads, bool)
-    dummy_states = {bi: initial_state(b.codes.shape[0])
-                    for bi, b in enumerate(batches)}
+    dummy_states = {bi: initial_state(p.rows)
+                    for bi, p in enumerate(source.plans)}
     acc = _HitAccumulator()
     prog = _Progress(cfg.verbose)
     # survivors stay on device while the loop dispatches (fetching inside
@@ -650,7 +602,7 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
         def visit(fi, text, mesh, arrays, steps):
             sig_hi, sig, pos, bb = arrays
             seq = None
-            for bi, b in enumerate(batches):
+            for bi, b in enumerate(source):
                 eps = np.float32(cfg.filter_value(b.patl))
                 _, seq = sharded_match_step(
                     sig, pos, bb,
@@ -665,7 +617,7 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
     else:
         def visit(fi, text, index, steps):
             surv = None
-            for bi, b in enumerate(batches):
+            for bi, b in enumerate(source):
                 eps = np.float32(cfg.filter_value(b.patl))
                 _, surv = match_step(
                     index.sig, index.pos, index.bb,
@@ -678,8 +630,9 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
 
         _foreach_shard_seq(cfg, texts, cand_cap, visit, prog)
 
-    for surv, patids, fi, n in pending:
-        acc.add(jax.tree.map(np.asarray, surv), patids, fi, n, overflow)
+    fetched = _fetch_tree([surv for surv, _, _, _ in pending])
+    for hs, (_, patids, fi, n) in zip(fetched, pending):
+        acc.add(hs, patids, fi, n, overflow)
     prog.summary()
 
     over_ids = np.flatnonzero(overflow)

@@ -12,7 +12,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from real_tpu import native
-from real_tpu.io.reads import ReadSet, autodetect_quality_offset
+from real_tpu.io.reads import IdView, ReadSet, autodetect_quality_offset
 
 
 def _u8p(a: np.ndarray):
@@ -50,7 +50,7 @@ def parse_fasta_reads_native(buf: np.ndarray) -> Optional[ReadSet]:
     lib.fasta_reads_fill(_u8p(buf), buf.size, _u8p(codes), _i64p(offsets),
                          _u8p(ids_buf), _i64p(id_offsets))
     lengths = np.diff(offsets).astype(np.int32)
-    return ReadSet(_decode_ids(ids_buf, id_offsets), lengths, codes,
+    return ReadSet(IdView(ids_buf, id_offsets), lengths, codes,
                    offsets, None, False)
 
 
@@ -94,7 +94,7 @@ def parse_fastq_native(buf: np.ndarray,
         if rc != 0:
             return None
     lengths = np.diff(offsets).astype(np.int32)
-    return ReadSet(_decode_ids(ids_buf, id_offsets), lengths, codes,
+    return ReadSet(IdView(ids_buf, id_offsets), lengths, codes,
                    offsets, quals, True, quality_offset)
 
 

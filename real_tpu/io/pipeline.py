@@ -1,0 +1,210 @@
+"""Host->device input pipeline.
+
+TPU equivalent of the reference's L2 async I/O layer: a producer thread +
+bounded queue feeding the matcher (AsynchronousReader.hpp:181-259,
+AsynchronousBufferReader.hpp double buffering).
+
+Two modes, chosen by a device-memory budget:
+
+* resident: the whole length bucket is packed and uploaded once and the
+  device slices stay alive across index-shard passes (fastest when reads
+  fit comfortably in HBM — one transfer total).
+* streaming: batches are packed + uploaded by a background thread at most
+  `prefetch` ahead of the match loop, and their device buffers are
+  released as soon as the loop moves on. HBM usage is bounded by
+  (prefetch + in-flight) batches regardless of read count; the upload of
+  batch b+1 overlaps the device matching batch b (the reference overlaps
+  aio reads with OpenMP matching the same way). Each index-shard pass
+  re-streams the batches — the reference's "re-stream all reads per
+  block" outer product (matchUniqueImplementation.cpp:1260-1262).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from typing import Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from real_tpu.io import reads as reads_io
+
+
+@dataclasses.dataclass
+class BatchPlan:
+    """Host-side description of one fixed-shape batch."""
+    patids: np.ndarray     # int64 [n] (n <= rows)
+    patl: int
+    rows: int              # padded row count (static batch shape)
+
+
+@dataclasses.dataclass
+class Batch:
+    patids: np.ndarray     # int64 [n] (n <= rows)
+    patl: int
+    codes: jnp.ndarray     # uint8 [rows, patl] (padded rows zero)
+    quals: Optional[jnp.ndarray]  # int8 [rows, patl]; None = FASTA const 30
+    valid: jnp.ndarray     # bool  [rows]
+
+
+def _round_b(n: int, bmax: int) -> int:
+    """Pad batch rows to the next power of two (limits jit retraces)."""
+    b = 1
+    while b < n:
+        b *= 2
+    return min(b, bmax)
+
+
+def make_plans(rs: reads_io.ReadSet, batch_size: int, seedl: int,
+               patid_filter: Optional[np.ndarray] = None,
+               row_align: int = 1,
+               warn=None) -> List[BatchPlan]:
+    """Length-bucketed fixed-shape batch plans. row_align makes every
+    batch's row count divisible by the mesh dp axis. One device shape per
+    length bucket: tail batches pad to the same row count as full batches
+    (jit compiles once per bucket)."""
+    plans: List[BatchPlan] = []
+    warned_short = False
+    B = -(-batch_size // row_align) * row_align
+    for patl, patids in sorted(rs.length_buckets().items()):
+        if patid_filter is not None:
+            patids = patids[np.isin(patids, patid_filter)]
+            if len(patids) == 0:
+                continue
+        if patl < seedl:
+            if not warned_short and warn is not None:
+                warn(f"Skipping {len(patids)} patterns shorter than seed "
+                     "length.")
+                warned_short = True
+            continue
+        bucket_rows = B if len(patids) > B else _round_b(len(patids), B)
+        bucket_rows = -(-bucket_rows // row_align) * row_align
+        nb = -(-len(patids) // bucket_rows)
+        for k in range(nb):
+            plans.append(BatchPlan(
+                patids=patids[k * bucket_rows:(k + 1) * bucket_rows],
+                patl=patl, rows=bucket_rows))
+    return plans
+
+
+def _pack_host(rs: reads_io.ReadSet, plan: BatchPlan):
+    """Pad one plan's reads to its fixed shape (host arrays)."""
+    codes_all, quals_all = rs.dense_batch(plan.patids)
+    n = len(plan.patids)
+    codes = np.zeros((plan.rows, plan.patl), np.uint8)
+    codes[:n] = codes_all & 3       # codes 4 (N) masked via valid
+    valid = np.zeros(plan.rows, bool)
+    valid[:n] = (codes_all <= 3).all(axis=1)
+    quals = None
+    if quals_all is not None:
+        quals = np.full((plan.rows, plan.patl), 30, np.int8)
+        quals[:n] = quals_all
+    return codes, quals, valid
+
+
+def _upload(rs: reads_io.ReadSet, plan: BatchPlan) -> Batch:
+    codes, quals, valid = _pack_host(rs, plan)
+    return Batch(patids=plan.patids, patl=plan.patl,
+                 codes=jnp.asarray(codes),
+                 quals=None if quals is None else jnp.asarray(quals),
+                 valid=jnp.asarray(valid))
+
+
+class BatchSource:
+    """Re-iterable batch sequence; resident or streaming (see module doc).
+
+    len() and .plans are cheap host metadata; iteration yields Batches
+    with device arrays."""
+
+    def __init__(self, rs: reads_io.ReadSet, plans: List[BatchPlan],
+                 resident_budget_bytes: int = 1 << 30, prefetch: int = 3):
+        self.rs = rs
+        self.plans = plans
+        self.prefetch = prefetch
+        per_read = (plans[0].patl if plans else 0) * \
+            (2 if rs.quals_flat is not None else 1)
+        total = sum(p.rows * p.patl for p in plans) * \
+            (2 if rs.quals_flat is not None else 1)
+        self.resident = total <= resident_budget_bytes
+        self._cache: Optional[List[Batch]] = None
+        del per_read
+
+    def __len__(self) -> int:
+        return len(self.plans)
+
+    def __iter__(self) -> Iterator[Batch]:
+        if self.resident:
+            if self._cache is None:
+                self._cache = self._upload_resident()
+            return iter(self._cache)
+        return self._stream()
+
+    def _upload_resident(self) -> List[Batch]:
+        """One bulk transfer per length bucket (per-batch transfers are
+        latency-bound on remote/tunneled devices), sliced per batch on
+        device."""
+        out: List[Batch] = []
+        by_bucket: dict = {}
+        for p in self.plans:
+            by_bucket.setdefault((p.patl, p.rows), []).append(p)
+        for (patl, rows), plans in by_bucket.items():
+            ids = np.concatenate([p.patids for p in plans])
+            big = BatchPlan(patids=ids, patl=patl, rows=rows * len(plans))
+            codes, quals, valid = _pack_host(self.rs, big)
+            dc = jnp.asarray(codes)
+            dq = None if quals is None else jnp.asarray(quals)
+            dv = jnp.asarray(valid)
+            for k, p in enumerate(plans):
+                o = k * rows
+                out.append(Batch(
+                    patids=p.patids, patl=patl,
+                    codes=dc[o:o + rows],
+                    quals=None if dq is None else dq[o:o + rows],
+                    valid=dv[o:o + rows]))
+        return out
+
+    def _stream(self) -> Iterator[Batch]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for plan in self.plans:
+                    if stop.is_set():
+                        return
+                    q.put(_upload(self.rs, plan))
+                q.put(None)
+            except BaseException as e:   # surface in consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=5)
+
+
+def make_source(rs: reads_io.ReadSet, batch_size: int, seedl: int,
+                patid_filter: Optional[np.ndarray] = None,
+                row_align: int = 1, warn=None,
+                resident_budget_bytes: int = 1 << 30) -> BatchSource:
+    plans = make_plans(rs, batch_size, seedl, patid_filter, row_align, warn)
+    return BatchSource(rs, plans,
+                       resident_budget_bytes=resident_budget_bytes)

@@ -33,10 +33,58 @@ for _c in b" \t\r\n\v\f":
     _WHITESPACE[_c] = True
 
 
+class IdView:
+    """Lazy sequence of read id strings over one byte blob.
+
+    10M+ reads as a Python list of str cost ~70 B/id of interpreter heap
+    and a slow decode pass; a blob + offsets is a flat array (the same
+    layout as the reference's binary id streams, FastIDDecoder.hpp) and
+    the output pass slices bytes straight out of it."""
+
+    __slots__ = ("blob", "off")
+
+    def __init__(self, blob: np.ndarray, off: np.ndarray):
+        self.blob = blob                # uint8 concatenated id bytes
+        self.off = off                  # int64 [N+1]
+
+    @staticmethod
+    def from_strings(ids: List[str]) -> "IdView":
+        enc = [s.encode("latin-1") for s in ids]
+        off = np.zeros(len(enc) + 1, np.int64)
+        np.cumsum([len(b) for b in enc], out=off[1:])
+        blob = np.frombuffer(b"".join(enc), np.uint8)
+        return IdView(blob, off)
+
+    def __len__(self) -> int:
+        return len(self.off) - 1
+
+    def bytes_at(self, i: int) -> bytes:
+        return self.blob[self.off[i]:self.off[i + 1]].tobytes()
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(len(self)))]
+        return self.bytes_at(int(i)).decode("latin-1")
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    def __eq__(self, other) -> bool:
+        if isinstance(other, IdView):
+            return (len(self) == len(other)
+                    and np.array_equal(self.off, other.off)
+                    and np.array_equal(self.blob, other.blob))
+        if isinstance(other, (list, tuple)):
+            return len(self) == len(other) and all(
+                a == b for a, b in zip(self, other))
+        return NotImplemented
+
+
 @dataclasses.dataclass
 class ReadSet:
     """All reads of one input file, in input order (patid = index)."""
-    ids: List[str]                      # full header line per read
+    ids: "IdView | List[str]"           # full header line per read
     lengths: np.ndarray                 # int32 [N]
     codes_flat: np.ndarray              # uint8, concatenated mapped codes
     offsets: np.ndarray                 # int64 [N+1] into codes_flat
@@ -144,8 +192,10 @@ def parse_fasta_reads_bytes(buf: np.ndarray) -> ReadSet:
                        None, False)
     is_header = buf[starts] == ord(">")
 
-    ids = [buf[s + 1:e].tobytes().decode("latin-1")
-           for s, e in zip(starts[is_header], ends[is_header])]
+    hs, he = starts[is_header] + 1, ends[is_header]
+    id_off = np.zeros(len(hs) + 1, np.int64)
+    np.cumsum(he - hs, out=id_off[1:])
+    ids = IdView(buf[_concat_ranges(hs, he)], id_off)
 
     # record id per line: number of headers seen so far - 1
     rec_of_line = np.cumsum(is_header) - 1
@@ -182,8 +232,10 @@ def parse_fastq_bytes(buf: np.ndarray, quality_offset: int = 0) -> ReadSet:
         raise ValueError(
             "non 4-line FASTQ records are not supported by the fast parser")
 
-    ids = [buf[s + 1:e].tobytes().decode("latin-1")
-           for s, e in zip(s4[:, 0], e4[:, 0])]
+    hs, he = s4[:, 0] + 1, e4[:, 0]
+    id_off = np.zeros(len(hs) + 1, np.int64)
+    np.cumsum(he - hs, out=id_off[1:])
+    ids = IdView(buf[_concat_ranges(hs, he)], id_off)
 
     # sequences (strip internal whitespace e.g. '\r')
     seq_idx = _concat_ranges(s4[:, 1], e4[:, 1])

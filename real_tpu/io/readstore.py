@@ -19,9 +19,9 @@ from typing import Optional
 
 import numpy as np
 
-from real_tpu.io.reads import ReadSet
+from real_tpu.io.reads import IdView, ReadSet
 
-STORE_VERSION = 1
+STORE_VERSION = 2
 
 
 def _store_path(path: str) -> str:
@@ -35,7 +35,8 @@ def _store_path(path: str) -> str:
 
 def save(rs: ReadSet, path: str) -> str:
     store = _store_path(path)
-    ids_join = "\x00".join(rs.ids)
+    ids = (rs.ids if isinstance(rs.ids, IdView)
+           else IdView.from_strings(list(rs.ids)))
     np.savez(store,
              lengths=rs.lengths, codes_flat=rs.codes_flat,
              offsets=rs.offsets,
@@ -44,7 +45,7 @@ def save(rs: ReadSet, path: str) -> str:
              has_quals=np.array([rs.quals_flat is not None]),
              fastq=np.array([rs.fastq]),
              quality_offset=np.array([rs.quality_offset]),
-             ids=np.frombuffer(ids_join.encode("latin-1"), np.uint8))
+             ids_blob=ids.blob, ids_off=ids.off)
     return store
 
 
@@ -54,12 +55,9 @@ def load(path: str) -> Optional[ReadSet]:
         return None
     try:
         z = np.load(store)
-        ids = z["ids"].tobytes().decode("latin-1")
-        id_list = ids.split("\x00") if ids else []
-        if len(id_list) == 1 and id_list[0] == "" and len(z["lengths"]) == 0:
-            id_list = []
         return ReadSet(
-            ids=id_list, lengths=z["lengths"], codes_flat=z["codes_flat"],
+            ids=IdView(z["ids_blob"], z["ids_off"]),
+            lengths=z["lengths"], codes_flat=z["codes_flat"],
             offsets=z["offsets"],
             quals_flat=z["quals_flat"] if bool(z["has_quals"][0]) else None,
             fastq=bool(z["fastq"][0]),

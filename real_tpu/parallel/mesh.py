@@ -40,7 +40,7 @@ from real_tpu.text.packed import PackedText
 
 
 def make_mesh(n_dp: int, n_shard: int, devices=None) -> Mesh:
-    devices = devices if devices is not None else jax.devices()
+    devices = devices if devices is not None else jax.local_devices()
     assert len(devices) >= n_dp * n_shard
     dev = np.asarray(devices[: n_dp * n_shard]).reshape(n_dp, n_shard)
     return Mesh(dev, ("dp", "shard"))
