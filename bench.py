@@ -3,23 +3,23 @@
 
 Prints ONE JSON line:
   {"metric": "reads_per_sec", "value": N, "unit": "reads/s",
-   "vs_baseline": N}
+   "vs_baseline": N, "phases": {...}}
 
 vs_baseline = our throughput / reference-binary throughput on this host's
 CPU (all cores). The reference timing is measured once and cached in
-.bench_data/baseline.json. Our timing excludes jit compilation (one warmup
-pass) but includes read packing, device transfer, index build, matching and
-the final state fetch — i.e. everything the reference spends wall-clock on
-after its input files are in page cache.
-"""
+.bench_data/baseline.json. Our timed region is END-TO-END process work:
+read parsing, genome parse+pack, device transfer, index build, matching,
+final state fetch, output formatting AND writing the output file — the
+same work the reference subprocess pays (its timing additionally includes
+~0.1s process startup; ours excludes jit compilation via one warmup run,
+since compiles are cached across production runs while the reference
+compiles ahead of time)."""
 
 import json
 import os
 import subprocess
 import sys
 import time
-
-import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
@@ -69,32 +69,53 @@ def reference_baseline(g, r):
     return rps
 
 
-def ours(g, r):
-    import jax
+def run_once(cfg, g, r, out_path):
+    """The full end-to-end pipeline, returning per-phase seconds."""
+    from real_tpu.cli.output import write_unique
+    from real_tpu.engine import driver
+    from real_tpu.io import reads as reads_io
 
+    ph = {}
+    t = time.perf_counter()
+    rs = reads_io.parse_reads(r)
+    ph["parse_reads"] = time.perf_counter() - t
+
+    t = time.perf_counter()
+    texts = driver.load_texts(cfg)
+    ph["parse_pack_text"] = time.perf_counter() - t
+
+    t = time.perf_counter()
+    result = driver.run_match_unique(cfg, rs, texts)
+    ph["match"] = time.perf_counter() - t
+
+    t = time.perf_counter()
+    with open(out_path, "w") as f:
+        unique = write_unique(f, rs, result, texts, cfg.scores)
+    ph["output"] = time.perf_counter() - t
+    ph.update({f"match.{k}": v
+               for k, v in driver.last_metrics.get("phase_s", {}).items()})
+    return ph, unique
+
+
+def ours(g, r):
     from real_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
     from real_tpu.config import RealConfig
-    from real_tpu.engine import driver
-    from real_tpu.io import reads as reads_io
 
     cfg = RealConfig(textfilename=g, patternfilename=r, outputfilename="-",
                      batch_size=8192)
-    rs = reads_io.parse_reads(r)
-    texts = driver.load_texts(cfg)
-
-    # warmup: compile all shapes with a tiny read subset padded to the same
-    # batch shapes is not possible (shapes depend on count), so run the full
-    # pipeline once for compile, then time the second run.
-    driver.run_match_unique(cfg, rs, texts)
+    out_path = os.path.join(DATA, "ours.out")
+    # warmup: compile everything once; timing below is a fresh full run
+    run_once(cfg, g, r, out_path)
     t0 = time.perf_counter()
-    result = driver.run_match_unique(cfg, rs, texts)
+    ph, unique = run_once(cfg, g, r, out_path)
     dt = time.perf_counter() - t0
-    matched = int(((result.st == 1) | (result.st == 2)).sum())
-    sys.stderr.write(f"ours: {dt:.3f}s for {rs.num_reads} reads "
-                     f"({matched} unique)\n")
-    return rs.num_reads / dt
+    sys.stderr.write(f"ours: {dt:.3f}s end-to-end for {NUM_READS} reads "
+                     f"({unique} unique); phases: "
+                     + " ".join(f"{k}={v:.3f}s" for k, v in ph.items())
+                     + "\n")
+    return NUM_READS / dt, {k: round(v, 3) for k, v in ph.items()}
 
 
 def main():
@@ -102,12 +123,13 @@ def main():
     base = reference_baseline(g, r)
     if base:
         sys.stderr.write(f"reference: {base:.0f} reads/s\n")
-    rps = ours(g, r)
+    rps, phases = ours(g, r)
     print(json.dumps({
         "metric": "reads_per_sec",
         "value": round(rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(rps / base, 3) if base else None,
+        "phases": phases,
     }))
 
 

@@ -34,7 +34,9 @@ def parse_args(argv: List[str]) -> RealConfig:
         # TPU-engine knobs
         "-B": ("batch_size", int), "-K": ("cand_cap", int),
         "-S": ("survivor_cap", int), "-shards": ("index_shards", int),
-        "-ckpt": ("checkpoint", str),
+        "-ckpt": ("checkpoint", str), "-ckpt_every": ("checkpoint_every",
+                                                      int),
+        "-trace": ("trace", str), "-metrics": ("metrics_json", str),
     }
     bool_flags = {"-u": "match_unique", "-q": "scores",
                   "-R": "rewritepatterns", "-g": "gaps", "-v": "verbose"}
@@ -79,21 +81,47 @@ def main(argv: Optional[List[str]] = None) -> int:
           file=sys.stderr)
     texts = driver.load_texts(cfg)
 
+    if cfg.gaps:
+        # the reference ships gapped matching compiled out
+        # (#define GAPPED_MATCHING disabled, real.cpp:23, -g hidden at
+        # RealOptions.cpp:115-118); see README for the rationale
+        print("Warning: gapped matching (-g) is experimental and disabled "
+              "in the reference (real.cpp:23); ignoring it.",
+              file=sys.stderr)
+
+    import contextlib
+    trace_cm = contextlib.nullcontext()
+    if cfg.trace:
+        import jax
+        trace_cm = jax.profiler.trace(cfg.trace)
+
+    import time
+    t0 = time.perf_counter()
     if cfg.outputfilename == "-":
         out = sys.stdout
     else:
         out = open(cfg.outputfilename, "w")
     try:
-        if cfg.match_unique:
-            result = driver.run_match_unique(cfg, rs, texts)
-            unique = write_unique(out, rs, result, texts, cfg.scores)
-            print(f"unique: {unique}", file=sys.stderr)
-        else:
-            cols = driver.run_match_all(cfg, rs, texts, as_arrays=True)
-            write_all_arrays(out, rs, cols, texts, cfg.scores)
+        with trace_cm:
+            if cfg.match_unique:
+                result = driver.run_match_unique(cfg, rs, texts)
+                unique = write_unique(out, rs, result, texts, cfg.scores)
+                print(f"unique: {unique}", file=sys.stderr)
+            else:
+                cols = driver.run_match_all(cfg, rs, texts, as_arrays=True)
+                write_all_arrays(out, rs, cols, texts, cfg.scores)
     finally:
         if out is not sys.stdout:
             out.close()
+    if cfg.metrics_json:
+        import json
+        wall = time.perf_counter() - t0
+        m = dict(driver.last_metrics)
+        m.update({"wall_s": round(wall, 3), "num_reads": rs.num_reads,
+                  "reads_per_sec": round(rs.num_reads / max(wall, 1e-9), 1),
+                  "mode": "unique" if cfg.match_unique else "all"})
+        with open(cfg.metrics_json, "w") as f:
+            json.dump(m, f, indent=1)
     return 0
 
 

@@ -58,7 +58,10 @@ def _seq_column(codes_mat: np.ndarray, inv: np.ndarray) -> np.ndarray:
     """[n, L] codes + strand -> S-array of sequence strings in matched
     orientation (reverse complement for '-' hits)."""
     n, L = codes_mat.shape
-    rc = (3 - codes_mat[:, ::-1].astype(np.int16)).astype(np.uint8)
+    # N (code 4) maps to N, not 3-4 (reads.reverse_complement semantics);
+    # N-containing reads are normally masked invalid before matching, but
+    # the formatter must not crash if one ever reaches it
+    rc = reverse_complement(codes_mat)
     sel = np.where(inv[:, None], rc, codes_mat)
     return np.frombuffer(_REMAP[sel].tobytes(), dtype=f"S{L}")
 
@@ -131,16 +134,53 @@ def _format_records(rs: ReadSet, pids: np.ndarray, inv: np.ndarray,
         _int_col(local_pos), empty, _int_col(errs)])
 
 
+_CHUNK_RECORDS = 1 << 18
+
+
+def _emit_chunks(out: IO, make_blob, n: int,
+                 chunk: int = _CHUNK_RECORDS) -> None:
+    """Stream formatted records in bounded chunks through a writer thread
+    (the AsynchronousWriter.hpp:82 analogue): host RAM holds at most ~3
+    chunk blobs instead of the whole output file, and formatting chunk
+    i+1 overlaps writing chunk i."""
+    if n <= chunk:
+        _write_bytes(out, make_blob(0, n))
+        return
+    import queue
+    import threading
+    q: "queue.Queue" = queue.Queue(maxsize=2)
+
+    def writer():
+        while True:
+            b = q.get()
+            if b is None:
+                return
+            _write_bytes(out, b)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    try:
+        for s in range(0, n, chunk):
+            q.put(make_blob(s, min(s + chunk, n)))
+    finally:
+        q.put(None)
+        t.join()
+
+
 def write_unique(out: IO, rs: ReadSet, result: MatchResult,
                  texts: List[TextFile], scores: bool) -> int:
     """Final output pass in read order; returns the unique-hit count
     (printed as 'unique: N' on stderr by the CLI)."""
     pids = np.flatnonzero((result.st == STRAIGHT) | (result.st == REVERSE))
-    blob = _format_records(
-        rs, pids, result.st[pids] == REVERSE, result.fileid[pids],
-        result.frag[pids], result.pos[pids], result.errs[pids],
-        result.score[pids], texts, scores)
-    _write_bytes(out, blob)
+
+    def make_blob(s, e):
+        p = pids[s:e]
+        return _format_records(
+            rs, p, result.st[p] == REVERSE, result.fileid[p],
+            result.frag[p], result.pos[p], result.errs[p],
+            result.score[p], texts, scores)
+
+    _emit_chunks(out, make_blob, pids.size)
     return int(pids.size)
 
 
@@ -152,10 +192,14 @@ def write_all_arrays(out: IO, rs: ReadSet, cols, texts: List[TextFile],
     (matchAllImplementation.cpp:467-533); we print read-major, hits per
     read in unified (sorted) order — compare as record sets."""
     pid, k, pos, fid, frag, score, inv = cols
-    blob = _format_records(rs, pid, inv.astype(bool), fid.astype(np.int64),
-                           frag.astype(np.int64), pos, k, score, texts,
-                           scores)
-    _write_bytes(out, blob)
+
+    def make_blob(s, e):
+        return _format_records(
+            rs, pid[s:e], inv[s:e].astype(bool),
+            fid[s:e].astype(np.int64), frag[s:e].astype(np.int64),
+            pos[s:e], k[s:e], score[s:e], texts, scores)
+
+    _emit_chunks(out, make_blob, len(pid))
     return int(pid.size)
 
 

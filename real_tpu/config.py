@@ -59,9 +59,18 @@ class RealConfig:
     use_mesh: object = None           # None = auto (mesh when devices > 1);
                                       # True/False force the mesh/sequential
                                       # driver path (tests cover both)
-    checkpoint: str = ""              # -ckpt <path>: save (matchinfo, shard
-                                      # cursor) after every index unit and
-                                      # resume from it (matchUnique only)
+    checkpoint: str = ""              # -ckpt <path>: save (matchinfo/hits,
+                                      # shard cursor) after completed index
+                                      # units and resume from it
+    checkpoint_every: int = 1         # units between checkpoint saves (the
+                                      # save fetches per-batch state D2H —
+                                      # raise this at many-shard scale)
+    trace: str = ""                   # -trace <dir>: capture a jax.profiler
+                                      # trace of the matching run (SURVEY
+                                      # §5.1; open with xprof/tensorboard)
+    metrics_json: str = ""            # -metrics <path>: write structured
+                                      # JSON run metrics (phase timers,
+                                      # counts) — SURVEY §5.5
     verbose: bool = False             # -v: stderr progress (reference prints
                                       # processed/numpat fractions,
                                       # matchUniqueImplementation.cpp:1292)
@@ -89,7 +98,11 @@ class RealConfig:
             print(f"reduced number of mismatches in seed to {self.seedkmax} "
                   "as we cannot handle more.", file=sys.stderr)
         if self.totalkmax > 15:
-            raise ValueError("total error limit exceeds 4-bit field (max 15)")
+            # reference clamps to the 4-bit error field with a warning
+            # (RealOptions.cpp:176-180, UniqueMatchInfo.hpp:58-61)
+            self.totalkmax = 15
+            print("Warning: reducing maximum amount of errors to 15",
+                  file=sys.stderr)
         # filter_mult (RealOptions.cpp:455-463)
         mult = {1: 0.5, 2: 1.0, 3: 2.0, 4: 3.0}.get(self.filter_level, 0.0)
         self.filter_mult = mult * self.totalkmax / 70.0

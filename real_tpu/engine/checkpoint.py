@@ -93,3 +93,52 @@ class Checkpoint:
     def delete(self) -> None:
         if self.path and os.path.exists(self.path):
             os.remove(self.path)
+
+
+_HIT_COLS = ("pid", "k", "pos", "fid", "frag", "score", "inv")
+
+
+class AllCheckpoint:
+    """matchAll checkpoint: (accumulated hit columns, per-read overflow,
+    unit cursor). Hits of completed units are independent of later units
+    (index shards are disjoint window ranges), so resuming replays only
+    the unfinished units."""
+
+    def __init__(self, path: str, fp: str):
+        self.path = path
+        self.fp = fp
+
+    def load(self) -> Optional[dict]:
+        if not self.path or not os.path.exists(self.path):
+            return None
+        try:
+            z = np.load(self.path, allow_pickle=False)
+            if str(z["fingerprint"]) != self.fp:
+                print("checkpoint fingerprint mismatch; ignoring it",
+                      file=sys.stderr)
+                return None
+            return {"units_done": int(z["units_done"]),
+                    "overflow": z["overflow"],
+                    "cols": tuple(z[f"hit_{c}"] for c in _HIT_COLS)}
+        except Exception as e:
+            print(f"checkpoint unreadable ({e}); ignoring it",
+                  file=sys.stderr)
+            return None
+
+    def save(self, units_done: int, overflow: np.ndarray,
+             cols: tuple) -> None:
+        if not self.path:
+            return
+        payload = {"fingerprint": self.fp,
+                   "units_done": np.int64(units_done),
+                   "overflow": overflow}
+        for name, col in zip(_HIT_COLS, cols):
+            payload[f"hit_{name}"] = col
+        tmp = self.path + ".tmp"
+        with open(tmp, "wb") as fobj:
+            np.savez(fobj, **payload)
+        os.replace(tmp, self.path)
+
+    def delete(self) -> None:
+        if self.path and os.path.exists(self.path):
+            os.remove(self.path)

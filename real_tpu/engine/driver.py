@@ -46,8 +46,11 @@ from real_tpu.parallel import plan
 from real_tpu.scoring.scoring import Scoring, score_tables
 from real_tpu.text.packed import PackedText, build_packed_text
 
-_REMAP = np.frombuffer(b"ACGTN", dtype=np.uint8)
 MAX_FRAGMENTS_PER_FILE = 1 << 16   # UniqueMatchInfo fragmentbits
+
+# structured metrics of the last top-level run (SURVEY §5.5); the CLI
+# serializes this with -metrics <path>
+last_metrics: Dict[str, object] = {}
 
 
 def _fetch_tree(tree):
@@ -77,8 +80,47 @@ class TextFile:
     packed: PackedText
 
 
-def load_texts(cfg: RealConfig) -> List[TextFile]:
-    """-t may be a file or a directory of *.fa files (getFileList.cpp)."""
+# largest per-text base count: positions are int32 on device (the
+# reference's 35-bit UniqueMatchInfo position field handles up to 34 Gbp
+# per file, UniqueMatchInfo.hpp:33 — bigger files are auto-split below)
+TEXT_SPLIT_LIMIT = 2**31 - 64
+
+
+def split_oversized(name: str, codes: np.ndarray,
+                    ranges: List[Tuple[str, int]],
+                    limit: int = TEXT_SPLIT_LIMIT):
+    """Split one parsed text file into sub-texts of < limit bases at
+    FRAGMENT boundaries. Alignments never cross fragment boundaries
+    (RangeVector::isPositionValid, RangeVector.hpp:63-80), so matching a
+    sub-text sequence is exact; output records are (fragment_id, local
+    position), which are unchanged by the grouping. A single fragment
+    larger than the limit cannot be split (no real chromosome is —
+    GRCh38's largest is 248 Mbp)."""
+    if len(codes) < limit:
+        return [(name, codes, ranges)]
+    names = [nm for nm, _ in ranges[:-1]]
+    offs = [off for _, off in ranges]           # F+1 entries, last = n
+    out = []
+    i = 0
+    while i < len(names):
+        base = offs[i]
+        j = i
+        while j < len(names) and offs[j + 1] - base <= limit:
+            j += 1
+        if j == i:
+            raise ValueError(
+                f"fragment {names[i]!r} alone exceeds {limit} bases")
+        sub = [(names[k], offs[k] - base) for k in range(i, j)]
+        sub.append(("terminal", offs[j] - base))
+        out.append((f"{name}#{len(out)}", codes[base:offs[j]], sub))
+        i = j
+    return out
+
+
+def load_texts(cfg: RealConfig,
+               split_limit: int = TEXT_SPLIT_LIMIT) -> List[TextFile]:
+    """-t may be a file or a directory of *.fa files (getFileList.cpp).
+    Files over 2^31 bases are auto-split at fragment boundaries."""
     import os
     paths: List[str] = []
     if os.path.isdir(cfg.textfilename):
@@ -91,7 +133,8 @@ def load_texts(cfg: RealConfig) -> List[TextFile]:
     out = []
     for p in paths:
         codes, ranges = fasta.parse_genome(p)
-        out.append(TextFile(name=p, packed=build_packed_text(codes, ranges)))
+        for name, c, r in split_oversized(p, codes, ranges, split_limit):
+            out.append(TextFile(name=name, packed=build_packed_text(c, r)))
     return out
 
 
@@ -117,12 +160,14 @@ def _bsearch_steps_static(num_windows: int, cand_cap: int,
     the HOST from the shard's window count alone — no device sync.
 
     Sized to converge the equal-range bisection for buckets up to 64x the
-    mean occupancy (way past Poisson tails on real genomes). A deeper
-    bucket only over-approximates its candidate range, which at worst
-    raises a spurious overflow -> escalation (each escalation level adds
-    bisection steps); it can never drop a true hit, because the K lanes
-    read from a conservative `begin` always cover the whole equal range
-    whenever count <= K."""
+    mean occupancy (way past Poisson tails on real genomes). Safety does
+    NOT depend on the heuristic: an unconverged bisection returns the
+    conservative bounds (lower for begin, upper for end — see
+    matchstep.find_survivors), so a deeper-than-planned bucket only
+    over-approximates its candidate range, which at worst raises an
+    overflow -> escalation (each escalation level adds bisection steps,
+    and host reruns add 8 per depth); it can never silently drop a true
+    hit."""
     avg = max(num_windows / float(1 << 22), 1.0)
     occ = max(64.0 * avg, float(2 * cand_cap))
     steps = int(np.ceil(np.log2(occ + 1)))
@@ -172,6 +217,27 @@ def _text_usable(cfg: RealConfig, tf: TextFile, verbose: bool) -> bool:
                   file=sys.stderr)
         return False
     return True
+
+
+class _DispatchWindow:
+    """Bounds in-flight dispatched batches in streaming-read mode: without
+    it, queued executions keep references to every uploaded batch of up to
+    two whole units, defeating the streaming pipeline's HBM bound
+    (io/pipeline.py). Syncing on the handle from `depth` batches ago keeps
+    (depth + prefetch) batches alive at most while still overlapping
+    upload, compute and the host loop."""
+
+    def __init__(self, enabled: bool, depth: int = 4):
+        self.enabled = enabled
+        self.depth = depth
+        self._window: List = []
+
+    def push(self, handle) -> None:
+        if not self.enabled or handle is None:
+            return
+        self._window.append(handle)
+        if len(self._window) > self.depth:
+            jax.block_until_ready(self._window.pop(0))
 
 
 class _Progress:
@@ -364,7 +430,7 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
 
     def checkpoint_unit():
         unit_done[0] += 1
-        if ck is None:
+        if ck is None or unit_done[0] % max(cfg.checkpoint_every, 1):
             return
         host_states = _fetch_tree([
             {f: getattr(states[bi], f)
@@ -385,6 +451,8 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
             prog.event(f"  matched {done_reads[0]}/{numpat} reads "
                        f"({done_reads[0] / max(numpat, 1):.2f})")
 
+    win = _DispatchWindow(enabled=not source.resident)
+
     if use_mesh:
         from real_tpu.parallel.mesh import sharded_match_step
 
@@ -400,6 +468,7 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
                     states[bi], jnp.int32(fi), eps, sig_hi,
                     mesh=mesh, bsearch_steps=steps, matchall=False, **kw)
                 overflows.setdefault(bi, []).append(of)
+                win.push(states[bi].st)
                 tick(bi, b)
             checkpoint_unit()
             return states[len(plans) - 1].st if plans else None
@@ -418,6 +487,7 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
                     states[bi], jnp.int32(fi), eps, index.sig_hi,
                     matchall=False, bsearch_steps=steps, **kw)
                 overflows.setdefault(bi, []).append(surv.overflow)
+                win.push(states[bi].st)
                 tick(bi, b)
             checkpoint_unit()
             return states[len(plans) - 1].st if plans else None
@@ -447,6 +517,11 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
 
     prog.summary()
     over_ids = np.flatnonzero(overflow)
+    if _depth == 0:
+        last_metrics.clear()
+        last_metrics.update({
+            "phase_s": {k: round(v, 3) for k, v in prog.phase_s.items()},
+            "overflow_rerun_reads": int(len(over_ids))})
     if len(over_ids):
         if _depth >= 4:
             raise RuntimeError(
@@ -515,6 +590,16 @@ class _HitAccumulator:
     _EMPTY = tuple(np.zeros(0, dt) for dt in
                    (np.int64, np.int64, np.int64, np.int64, np.int64,
                     np.float32, bool))
+
+    def compact(self) -> tuple:
+        """Concatenate accumulated columns in place (no sort/dedup) —
+        checkpoint payload; keeps the accumulator equivalent."""
+        if not self.cols:
+            return self._EMPTY
+        cols = tuple(np.concatenate([c[i] for c in self.cols])
+                     for i in range(7))
+        self.cols = [cols]
+        return cols
 
     def finalize_arrays(self) -> tuple:
         """Sorted + deduped hit columns
@@ -591,15 +676,71 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
                     for bi, p in enumerate(source.plans)}
     acc = _HitAccumulator()
     prog = _Progress(cfg.verbose)
-    # survivors stay on device while the loop dispatches (fetching inside
-    # the loop would sync per batch and serialize host<->device); one
-    # deferred fetch per (shard, batch) after all dispatches
+    nplans = len(source.plans)
+    every = max(1, nplans // 8)
+    done_reads = [0]
+
+    # Survivors are fetched INCREMENTALLY with bounded in-flight depth:
+    # the D2H copy starts asynchronously right after each dispatch and is
+    # materialized once `_PENDING_MAX` newer batches are queued, so the
+    # transfer overlaps device compute, device buffers are freed as the
+    # run progresses (HBM use is bounded instead of growing with
+    # passes x batches), and host accumulation happens on the fly. The
+    # reference prints hits per block inside the worker loop
+    # (matchAllImplementation.cpp:467-533) — same streaming idea.
+    _PENDING_MAX = 8
     pending: List[tuple] = []
+
+    def _start_fetch(tree):
+        jax.tree.map(lambda a: a.copy_to_host_async()
+                     if hasattr(a, "copy_to_host_async") else None, tree)
+
+    def drain(to_len: int) -> None:
+        while len(pending) > to_len:
+            surv, patids, fi, n = pending.pop(0)
+            hs = jax.tree.map(np.asarray, surv)
+            acc.add(hs, patids, fi, n, overflow)
+
+    def enqueue(surv, b, fi, bi) -> None:
+        _start_fetch(surv)
+        pending.append((surv, b.patids, fi, len(b.patids)))
+        drain(_PENDING_MAX)
+        done_reads[0] += len(b.patids)
+        if (bi + 1) % every == 0 or bi + 1 == nplans:
+            prog.event(f"  matched {done_reads[0]}/{rs.num_reads} reads "
+                       f"({done_reads[0] / max(rs.num_reads, 1):.2f})")
+
+    # checkpoint/resume (SURVEY §5.4): accumulated hit columns + overflow
+    # + completed-unit cursor (hits of completed units are independent of
+    # later units — shards are disjoint window ranges)
+    ck = None
+    skip_units = 0
+    unit_done = [0]
+    if cfg.checkpoint and _depth == 0 and patid_filter is None:
+        from real_tpu.engine import checkpoint as ckpt_mod
+        fp = "all-" + ckpt_mod.fingerprint(cfg, texts, rs.num_reads,
+                                           nplans, cand_cap, survivor_cap)
+        ck = ckpt_mod.AllCheckpoint(cfg.checkpoint, fp)
+        data = ck.load()
+        if data:
+            skip_units = unit_done[0] = data["units_done"]
+            overflow |= data["overflow"]
+            acc.cols.append(data["cols"])
+            prog.event(f"resumed from checkpoint: {skip_units} units done")
+
+    def checkpoint_unit():
+        unit_done[0] += 1
+        if ck is None or unit_done[0] % max(cfg.checkpoint_every, 1):
+            return
+        drain(0)
+        ck.save(unit_done[0], overflow, acc.compact())
+        prog.event(f"checkpoint saved ({unit_done[0]} units)")
 
     if use_mesh:
         from real_tpu.parallel.mesh import sharded_match_step
 
         def visit(fi, text, mesh, arrays, steps):
+            done_reads[0] = 0
             sig_hi, sig, pos, bb = arrays
             seq = None
             for bi, b in enumerate(source):
@@ -610,12 +751,14 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
                     b.codes, b.quals, b.valid,
                     dummy_states[bi], jnp.int32(fi), eps, sig_hi,
                     mesh=mesh, bsearch_steps=steps, matchall=True, **kw)
-                pending.append((seq, b.patids, fi, len(b.patids)))
+                enqueue(seq, b, fi, bi)
+            checkpoint_unit()
             return seq.valid if seq is not None else None
 
-        _foreach_shard_mesh(cfg, texts, cand_cap, visit, prog)
+        _foreach_shard_mesh(cfg, texts, cand_cap, visit, prog, skip_units)
     else:
         def visit(fi, text, index, steps):
+            done_reads[0] = 0
             surv = None
             for bi, b in enumerate(source):
                 eps = np.float32(cfg.filter_value(b.patl))
@@ -625,17 +768,21 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
                     b.codes, b.quals, b.valid,
                     dummy_states[bi], jnp.int32(fi), eps, index.sig_hi,
                     matchall=True, bsearch_steps=steps, **kw)
-                pending.append((surv, b.patids, fi, len(b.patids)))
+                enqueue(surv, b, fi, bi)
+            checkpoint_unit()
             return surv.valid if surv is not None else None
 
-        _foreach_shard_seq(cfg, texts, cand_cap, visit, prog)
+        _foreach_shard_seq(cfg, texts, cand_cap, visit, prog, skip_units)
 
-    fetched = _fetch_tree([surv for surv, _, _, _ in pending])
-    for hs, (_, patids, fi, n) in zip(fetched, pending):
-        acc.add(hs, patids, fi, n, overflow)
+    drain(0)
     prog.summary()
 
     over_ids = np.flatnonzero(overflow)
+    if _depth == 0:
+        last_metrics.clear()
+        last_metrics.update({
+            "phase_s": {k: round(v, 3) for k, v in prog.phase_s.items()},
+            "overflow_rerun_reads": int(len(over_ids))})
     if as_arrays:
         cols = acc.finalize_arrays()
         if len(over_ids):
@@ -650,6 +797,8 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
             keep = ~np.isin(cols[0], over_ids)
             cols = _sort_dedup_hits(tuple(
                 np.concatenate([a[keep], b]) for a, b in zip(cols, sub)))
+        if ck is not None:
+            ck.delete()
         return cols
 
     hits = acc.finalize()
@@ -663,4 +812,6 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
             hits[int(pid)] = sub.get(int(pid), [])
             if not hits[int(pid)]:
                 del hits[int(pid)]
+    if ck is not None:
+        ck.delete()
     return hits

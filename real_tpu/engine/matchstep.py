@@ -263,8 +263,15 @@ def find_survivors(
     hi = jnp.take_along_axis(index_bb, h + 1, axis=1)
     if bsearch_steps:
         # refine to the exact equal range with two bisections (first >=
-        # probe, first > probe); driver picks steps covering the fullest
-        # bucket, so candidate count is bucket-occupancy-independent
+        # probe, first > probe). The true boundary always lies in [l, h2],
+        # so an UNCONVERGED bisection (l < h2 after the static step count)
+        # must return the conservative side: the lower bound l for `begin`
+        # and the upper bound h2 for `end`. The resulting range then only
+        # over-approximates the equal range — extra lanes are dropped by
+        # the post-compaction signature-equality gather, and an oversized
+        # count trips the count>K / survivor>S overflow, forcing escalation
+        # (which adds bisection steps). A true hit can never be silently
+        # lost to insufficient bisection depth.
         def bisect(gt: bool):
             l, h2 = lo, hi
             for _ in range(bsearch_steps):
@@ -283,9 +290,9 @@ def find_survivors(
                 go_right = (le if gt else lt) & live
                 l, h2 = (jnp.where(go_right, mid + 1, l),
                          jnp.where(~go_right & live, mid, h2))
-            return l
-        begin = bisect(False)
-        end = bisect(True)
+            return l, h2
+        begin = bisect(False)[0]
+        end = bisect(True)[1]
     else:
         begin, end = lo, hi
     count = jnp.minimum(end - begin, jnp.int32(2 * M))   # [6, 2B]

@@ -124,13 +124,10 @@ class BatchSource:
         self.rs = rs
         self.plans = plans
         self.prefetch = prefetch
-        per_read = (plans[0].patl if plans else 0) * \
-            (2 if rs.quals_flat is not None else 1)
         total = sum(p.rows * p.patl for p in plans) * \
             (2 if rs.quals_flat is not None else 1)
         self.resident = total <= resident_budget_bytes
         self._cache: Optional[List[Batch]] = None
-        del per_read
 
     def __len__(self) -> int:
         return len(self.plans)

@@ -4,40 +4,41 @@ The reference is strictly single-node (POSIX threads + OpenMP + aio; no
 MPI/NCCL/sockets anywhere — SURVEY §1). Scaling past one host is therefore
 a new, TPU-native design:
 
-* `jax.distributed.initialize()` connects the per-host processes; the
-  global device mesh spans hosts.
-* Mesh axes: ("dp", "shard") exactly as in parallel/mesh.py. The shard
-  axis should stay INSIDE a host/ICI domain (index shards exchange
-  all-gathered survivor records every step — keep that traffic on ICI);
-  the dp axis can span hosts over DCN, because data-parallel read batches
-  exchange NOTHING during matching — each host matches its own reads and
-  only the final per-host results are concatenated on the host side.
-* Input sharding: each process loads only its slice of the read set
-  (`host_read_slice`), the direct analogue of per-host input files. The
-  genome/packed text is replicated (2 bits/base: GRCh38 is ~750 MB —
-  replicating it is far cheaper than sharding text windows across DCN).
-* Output: each host writes its own slice's records; rank 0 concatenates
-  (or a downstream cat does). Records are keyed by patid so order is
-  reconstructible.
+* `jax.distributed.initialize()` connects the per-host processes (explicit
+  coordinator arguments, or env autodetection on TPU pods).
+* Data-parallel-over-hosts with per-process local meshes: read batches
+  exchange NOTHING during matching, so each process drives its own local
+  ("dp", "shard") mesh (parallel/mesh.py) over its addressable devices
+  and matches only its own read slice. The shard axis stays inside a
+  host/ICI domain by construction; the host dimension is pure dp over DCN
+  with zero per-step traffic. (A single global mesh would buy nothing
+  here — there is no cross-host collective in the workload — and would
+  force global-array assembly on every batch.)
+* Input sharding: each process parses only its slice of the read file
+  (`parse_host_slice` → io/reads.parse_reads_sliced — record-boundary
+  scan is vectorized; the expensive per-char mapping runs on 1/n of the
+  file). The genome/packed text is replicated (2 bits/base: GRCh38 is
+  ~750 MB — replicating is far cheaper than sharding text windows over
+  DCN).
+* Output: each host writes its own slice's records; concatenating the
+  per-rank outputs in rank order reproduces the single-host file
+  byte-for-byte (slices are contiguous in patid order and matchUnique's
+  output pass is read-ordered).
 
-With jax.distributed initialized, engine/driver.py works unchanged on the
-global mesh as long as every process feeds the same batch shapes: reads
-are globally batched with `jax.make_array_from_process_local_data` over
-the dp axis.
-
-Single-process testing: `initialize_for_tests(n)` fakes a multi-process
-topology on CPU virtual devices; tests/test_multihost.py runs the driver
-under it and asserts equality with the single-process result
-(tests/test_multihost_procs.py additionally spawns REAL separate
-processes on a loopback coordinator).
+tests/test_multihost.py spawns REAL separate processes on a loopback
+coordinator and asserts that equality.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional, Tuple
 
-import numpy as np
+# env vars whose presence indicates a distributed launch environment that
+# jax.distributed.initialize() can autodetect (TPU pod / cluster runtimes)
+_AUTODETECT_ENV = ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                   "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES")
 
 
 @dataclasses.dataclass
@@ -55,15 +56,19 @@ def initialize(coordinator_address: Optional[str] = None,
                process_id: Optional[int] = None) -> HostTopology:
     """Connect this process to the multi-host job.
 
-    On TPU pods the three arguments come from the environment and may all
-    be None (jax.distributed autodetects); on CPU/GPU clusters pass them
-    explicitly. Safe to call in a single-process job (no-op)."""
+    With explicit arguments they are passed through; with all-None
+    arguments, a distributed environment is autodetected from the usual
+    launcher env vars and `jax.distributed.initialize()` is called with
+    no arguments (jax fills everything in from the environment). A plain
+    single-process job stays a no-op."""
     import jax
     if num_processes is not None and num_processes > 1 \
             or coordinator_address is not None:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id)
+    elif any(os.environ.get(k) for k in _AUTODETECT_ENV):
+        jax.distributed.initialize()
     return HostTopology(jax.process_index(), jax.process_count())
 
 
@@ -72,11 +77,8 @@ def host_read_slice(num_reads: int, topo: HostTopology) -> Tuple[int, int]:
     output pass a simple per-host concat. Every host gets a multiple of
     16 reads except the last (batch padding stays shape-identical across
     hosts)."""
-    per = -(-num_reads // topo.process_count)
-    per = -(-per // 16) * 16
-    lo = min(topo.process_index * per, num_reads)
-    hi = min(lo + per, num_reads)
-    return lo, hi
+    from real_tpu.io.reads import split_records
+    return split_records(num_reads, topo.process_index, topo.process_count)
 
 
 def dp_shard_axes(n_local_devices: int, n_processes: int,
@@ -91,41 +93,13 @@ def dp_shard_axes(n_local_devices: int, n_processes: int,
     return local_dp * n_processes, n_shard
 
 
-def make_global_mesh(n_dp: int, n_shard: int):
-    """Global (dp, shard) mesh over all processes' devices, laid out so
-    each host's devices form complete shard groups."""
-    import jax
-    devs = np.asarray(jax.devices())
-    assert devs.size >= n_dp * n_shard
-    return jax.sharding.Mesh(
-        devs[: n_dp * n_shard].reshape(n_dp, n_shard), ("dp", "shard"))
-
-
-def run_unique_host_slice(cfg, rs, texts, topo: HostTopology):
-    """matchUnique for THIS host's read slice.
-
-    dp-over-hosts exchanges nothing during matching, so each process
-    drives its own local (dp, shard) mesh on its addressable devices
-    (engine/driver.py uses jax.local_devices()); reads outside the slice
-    stay NoMatch and are skipped by the output pass, so concatenating the
-    per-rank outputs in rank order reproduces the single-host file
-    byte-for-byte."""
-    from real_tpu.engine import driver
-    lo, hi = host_read_slice(rs.num_reads, topo)
-    if lo >= hi:
-        return driver.run_match_unique(
-            cfg, rs, texts, patid_filter=np.zeros(0, np.int64))
-    return driver.run_match_unique(
-        cfg, rs, texts, patid_filter=np.arange(lo, hi, dtype=np.int64))
-
-
-def global_batch(mesh, local_rows: np.ndarray):
-    """Assemble a global dp-sharded array from per-process local rows
-    (jax.make_array_from_process_local_data): each process contributes
-    its read slice; the result is addressable per-device exactly as the
-    driver's dp sharding expects."""
-    import jax
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    sharding = NamedSharding(mesh, P("dp") if local_rows.ndim == 1
-                             else P("dp", *([None] * (local_rows.ndim - 1))))
-    return jax.make_array_from_process_local_data(sharding, local_rows)
+def parse_host_slice(path: str, topo: HostTopology,
+                     quality_offset: int = 0):
+    """Parse only THIS host's record slice of the read file. Returns a
+    host-local ReadSet (patids 0..n_local): matching and output run on it
+    directly, and rank-order concat of outputs equals the single-host
+    file."""
+    from real_tpu.io import reads as reads_io
+    rs, _lo, _total = reads_io.parse_reads_sliced(
+        path, topo.process_index, topo.process_count, quality_offset)
+    return rs

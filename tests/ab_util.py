@@ -38,7 +38,7 @@ def run_reference(ref_real, genome, reads, out, extra_args=()):
 
 def run_ours(genome, reads, *, unique=True, scores=True, seedkmax=2,
              totalkmax=5, seedl=32, index_shards=1, batch_size=512,
-             filter_level=2, use_mesh=None):
+             filter_level=2, use_mesh=None, split_limit=None):
     cfg = RealConfig(textfilename=genome, patternfilename=reads,
                      outputfilename="-", match_unique=unique, scores=scores,
                      seedkmax=seedkmax, totalkmax=totalkmax, seedl=seedl,
@@ -46,7 +46,10 @@ def run_ours(genome, reads, *, unique=True, scores=True, seedkmax=2,
                      filter_level=filter_level, use_mesh=use_mesh)
     rs = reads_io.parse_reads(reads)
     cfg.fastq = rs.fastq
-    texts = driver.load_texts(cfg)
+    if split_limit is not None:
+        texts = driver.load_texts(cfg, split_limit=split_limit)
+    else:
+        texts = driver.load_texts(cfg)
     buf = io.StringIO()
     if unique:
         result = driver.run_match_unique(cfg, rs, texts)

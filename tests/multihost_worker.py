@@ -36,15 +36,15 @@ def main() -> int:
     from real_tpu.cli.output import write_unique
     from real_tpu.config import RealConfig
     from real_tpu.engine import driver
-    from real_tpu.io import reads as reads_io
 
     g = os.path.join(datadir, "g.fa")
     r = os.path.join(datadir, "r.fa")
     cfg = RealConfig(textfilename=g, patternfilename=r, outputfilename="-",
                      batch_size=64, index_shards=2, use_mesh=True)
-    rs = reads_io.parse_reads(r)
+    # per-host input sharding: parse only this rank's record slice
+    rs = multihost.parse_host_slice(r, topo)
     texts = driver.load_texts(cfg)
-    res = multihost.run_unique_host_slice(cfg, rs, texts, topo)
+    res = driver.run_match_unique(cfg, rs, texts)
     with open(os.path.join(datadir, f"out_{pid}.txt"), "w") as f:
         write_unique(f, rs, res, texts, cfg.scores)
     return 0

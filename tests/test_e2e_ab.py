@@ -176,6 +176,67 @@ def _matchall_ab(ref_real, tmp_path, scores, seed):
     assert uniq_set <= our_set
 
 
+def test_skewed_bucket_adversarial(ref_real, tmp_path):
+    """A genome engineered so one 22-bit bucket holds thousands of index
+    entries while each equal range is tiny: 32-base blocks all sharing an
+    11-base prefix (= the s0 bucket key, getSampleBits.hpp:22-25). The
+    static bisection-depth heuristic (driver._bsearch_steps_static)
+    undershoots this bucket by far; the unconverged bisection must return
+    conservative bounds and escalate (matchstep.find_survivors) rather
+    than silently drop the true hits — the round-2 advisor's high-severity
+    finding. Byte-identical through BOTH driver paths."""
+    import numpy as np
+    rng = np.random.default_rng(77)
+    nblk = 3000
+    prefix = "ACGTACGTACG"          # 11 bases = 22 bucket bits of list s0
+    base = "ACGT"
+    blocks = ["".join(base[b] for b in rng.integers(0, 4, 21))
+              for _ in range(nblk)]
+    genome = "".join(prefix + b for b in blocks)
+    gpath = tmp_path / "g.fa"
+    gpath.write_text(">frag0\n" + "\n".join(
+        genome[i:i + 60] for i in range(0, len(genome), 60)) + "\n")
+    # 64bp reads at block starts: every read's s0 probe lands in the
+    # packed bucket, but its equal range holds only a handful of entries
+    reads = []
+    for i in range(0, nblk - 2, 7):
+        pos = i * 32
+        reads.append((f"r{i}", genome[pos:pos + 64]))
+    rpath = tmp_path / "r.fa"
+    rpath.write_text("".join(f">{n}\n{s}\n" for n, s in reads))
+    ref = ab_util.run_reference(ref_real, str(gpath), str(rpath),
+                                str(tmp_path / "ref.out"),
+                                ab_util.ref_flags(scores=False))
+    assert ref.strip(), "adversarial input produced no reference hits"
+    for use_mesh, shards in ((False, 1), (True, 4)):
+        ours = ab_util.run_ours(str(gpath), str(rpath), scores=False,
+                                use_mesh=use_mesh, index_shards=shards)
+        assert ours == ref, f"mismatch (use_mesh={use_mesh})"
+
+
+def test_text_autosplit_byte_identical(ref_real, tmp_path):
+    """Oversized-text auto-split (driver.split_oversized): forcing a tiny
+    split limit makes load_texts break one multi-fragment file into
+    several sub-texts; output must stay byte-identical to the reference
+    seeing the whole file (the config-5 / GRCh38 >2^31-base shape,
+    exercised at small scale — positions are fragment-relative, so the
+    grouping is unobservable). Covers hits in every sub-text."""
+    genome, reads = ab_util.make_inputs(tmp_path, n=30000, numpat=250,
+                                        patlen=75, errprob=0.02, seed=61,
+                                        num_fragments=7)
+    ref = ab_util.run_reference(
+        ref_real, genome, reads, str(tmp_path / "ref.out"),
+        ab_util.ref_flags(scores=True))
+    # ~30000/7 ≈ 4300 bases per fragment; limit 10k → 3+ sub-texts
+    ours = ab_util.run_ours(genome, reads, scores=True, split_limit=10000)
+    assert ours == ref
+    # also through the mesh/sharded path
+    ours_mesh = ab_util.run_ours(genome, reads, scores=True,
+                                 split_limit=10000, use_mesh=True,
+                                 index_shards=2)
+    assert ours_mesh == ref
+
+
 def test_matchall_noscores(ref_real, tmp_path):
     _matchall_ab(ref_real, tmp_path, scores=False, seed=13)
 

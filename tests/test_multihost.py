@@ -43,6 +43,43 @@ def test_dp_shard_axes_keeps_shard_local():
     assert n_shard == 1 and n_dp == 8
 
 
+@pytest.mark.parametrize("fastq", [False, True])
+def test_parse_reads_sliced_concat_equals_full(tmp_path, fastq):
+    """Per-host sliced parsing: rank slices concatenate to the full parse
+    (ids, codes, lengths, qualities, quality offset)."""
+    from real_tpu.io import fasta, reads as reads_io
+    from real_tpu.tools import simulate
+
+    g = str(tmp_path / "g.fa")
+    r = str(tmp_path / ("r.fq" if fastq else "r.fa"))
+    with open(g, "w") as f:
+        f.write(simulate.random_genome(8000, seed=31))
+    codes, _ = fasta.parse_genome(g)
+    simulate.write_reads(
+        simulate.generate_reads(codes, 101, 50, 0.02, fastq, seed=32), r,
+        fastq)
+
+    full = reads_io.parse_reads(r)
+    for nranks in (1, 2, 3):
+        parts = [reads_io.parse_reads_sliced(r, p, nranks)
+                 for p in range(nranks)]
+        assert parts[0][2] == full.num_reads
+        got_ids = [i for rs, _, _ in parts for i in rs.ids]
+        assert got_ids == list(full.ids)
+        np.testing.assert_array_equal(
+            np.concatenate([rs.lengths for rs, _, _ in parts]),
+            full.lengths)
+        np.testing.assert_array_equal(
+            np.concatenate([rs.codes_flat for rs, _, _ in parts]),
+            full.codes_flat)
+        if fastq:
+            np.testing.assert_array_equal(
+                np.concatenate([rs.quals_flat for rs, _, _ in parts]),
+                full.quals_flat)
+            assert all(rs.quality_offset == full.quality_offset
+                       for rs, _, _ in parts)
+
+
 def test_two_process_output_equals_single(tmp_path):
     from real_tpu.cli.output import write_unique
     from real_tpu.config import RealConfig
