@@ -91,6 +91,80 @@ def _join_records(cols: List[np.ndarray]) -> bytes:
     return b"\n".join(rec.tolist()) + b"\n"
 
 
+def _global_frag_tables(texts: List[TextFile]):
+    """Concatenated fragment-name blob across files: (name_blob uint8,
+    name_off int64 [F+1], file_base int64 per file, frag_start int64
+    aligned with the global name index)."""
+    parts, starts, bases = [], [], []
+    total = 0
+    for tf in texts:
+        r = tf.packed.ranges
+        for nm, off in r[:-1]:
+            parts.append(nm.encode("latin-1"))
+            starts.append(off)
+        bases.append(total)
+        total += len(r) - 1
+    name_off = np.zeros(len(parts) + 1, np.int64)
+    np.cumsum([len(b) for b in parts], out=name_off[1:])
+    blob = np.frombuffer(b"".join(parts), np.uint8) if parts \
+        else np.zeros(0, np.uint8)
+    return (blob, name_off, np.asarray(bases, np.int64),
+            np.asarray(starts, np.int64))
+
+
+def _format_records_native(rs: ReadSet, pids, inv, fileid, frag, pos,
+                           errs, score, texts, scores: bool):
+    """C++ formatter (native/readpack.cpp format_records); returns None
+    when unavailable (non-IdView ids or no native lib)."""
+    from real_tpu import native
+    lib = native.get_lib()
+    ids = rs.ids
+    if lib is None or not hasattr(ids, "blob"):
+        return None
+    blob, name_off, file_base, frag_start = _global_frag_tables(texts)
+    name_idx = file_base[fileid.astype(np.int64)] + frag.astype(np.int64)
+    local_pos = pos.astype(np.int64) - frag_start[name_idx] + 1
+    import ctypes
+
+    def i64(a):
+        return np.ascontiguousarray(a, np.int64)
+
+    def p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    n = pids.size
+    pid64 = i64(pids)
+    id_off = i64(ids.off)
+    code_off = i64(rs.offsets)
+    ni = i64(name_idx)
+    cap = lib.format_records_bound(n, p(pid64, ctypes.c_int64),
+                                   p(id_off, ctypes.c_int64),
+                                   p(code_off, ctypes.c_int64),
+                                   p(ni, ctypes.c_int64),
+                                   p(name_off, ctypes.c_int64))
+    out = np.empty(int(cap), np.uint8)
+    inv8 = np.ascontiguousarray(inv, np.uint8)
+    sc = np.ascontiguousarray(score, np.float32) if scores else None
+    errs32 = np.ascontiguousarray(errs, np.int32)
+    lp = i64(local_pos)
+    nb = np.ascontiguousarray(blob)
+    written = lib.format_records(
+        n, p(np.ascontiguousarray(ids.blob), ctypes.c_uint8),
+        p(id_off, ctypes.c_int64),
+        p(np.ascontiguousarray(rs.codes_flat), ctypes.c_uint8),
+        p(code_off, ctypes.c_int64),
+        p(pid64, ctypes.c_int64), p(inv8, ctypes.c_uint8),
+        p(sc, ctypes.c_float) if sc is not None
+        else ctypes.POINTER(ctypes.c_float)(),
+        p(nb, ctypes.c_uint8), p(name_off, ctypes.c_int64),
+        p(ni, ctypes.c_int64), p(lp, ctypes.c_int64),
+        p(errs32, ctypes.c_int32),
+        p(out, ctypes.c_uint8), out.size)
+    if written < 0:
+        return None
+    return out[:written].tobytes()
+
+
 def _format_records(rs: ReadSet, pids: np.ndarray, inv: np.ndarray,
                     fileid: np.ndarray, frag: np.ndarray, pos: np.ndarray,
                     errs: np.ndarray, score: np.ndarray,
@@ -99,6 +173,10 @@ def _format_records(rs: ReadSet, pids: np.ndarray, inv: np.ndarray,
     rows are emitted in the given order."""
     if pids.size == 0:
         return b""
+    nat = _format_records_native(rs, pids, inv, fileid, frag, pos, errs,
+                                 score, texts, scores)
+    if nat is not None:
+        return nat
     names, offs = _frag_tables(texts)
     n = pids.size
 

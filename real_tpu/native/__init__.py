@@ -61,5 +61,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.genome_fill.argtypes = [u8p, ctypes.c_int64, u8p, i64p, u8p, i64p]
     lib.pack_rows_2bit.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
                                    u32p, ctypes.c_int64]
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.format_records_bound.argtypes = [ctypes.c_int64, i64p, i64p, i64p,
+                                         i64p, i64p]
+    lib.format_records_bound.restype = ctypes.c_int64
+    lib.format_records.argtypes = [ctypes.c_int64, u8p, i64p, u8p, i64p,
+                                   i64p, u8p, f32p, u8p, i64p, i64p, i64p,
+                                   i32p, u8p, ctypes.c_int64]
+    lib.format_records.restype = ctypes.c_int64
     _lib = lib
     return _lib

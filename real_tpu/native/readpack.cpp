@@ -7,6 +7,7 @@
 // Exposed via a C ABI for ctypes (no pybind11 in this image).
 
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 
 namespace {
@@ -238,6 +239,87 @@ void genome_fill(const uint8_t* buf, int64_t n,
 // 2-bit row packing (length-bucketed read store, TemporaryFile.hpp analogue)
 // codes [rows x row_len] -> uint32 words MSB-first, 16 bases/word
 // ---------------------------------------------------------------------------
+
+// ---------------------------------------------------------------------------
+// Output record formatting (matchUniqueImplementation.cpp:265-291 layout):
+//   read_id \t seq[matched orientation] \t [score] \t 1 \t a \t patl \t
+//   +/- \t fragment_id \t 1-based-local-pos \t <empty> \t k \n
+// The score column is C++ `ostream << float` = "%.6g" of the float32
+// widened to double. Returns bytes written, or -1 if out_cap would be
+// exceeded (caller sizes out with format_records_bound, so this is a
+// programming error, not a runtime path).
+// ---------------------------------------------------------------------------
+
+int64_t format_records_bound(int64_t n, const int64_t* pid,
+                             const int64_t* id_off, const int64_t* code_off,
+                             const int64_t* name_idx,
+                             const int64_t* name_off) {
+    int64_t total = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t p = pid[i];
+        total += (id_off[p + 1] - id_off[p])
+                 + (code_off[p + 1] - code_off[p])
+                 + (name_off[name_idx[i] + 1] - name_off[name_idx[i]])
+                 + 80;  // tabs + ints + score + strand + newline
+    }
+    return total;
+}
+
+int64_t format_records(
+        int64_t n,
+        const uint8_t* id_blob, const int64_t* id_off,
+        const uint8_t* codes_flat, const int64_t* code_off,
+        const int64_t* pid,          // [n] read index (may repeat)
+        const uint8_t* inv,          // [n] 1 = reverse-complement hit
+        const float* score,          // [n] or NULL (scores off)
+        const uint8_t* name_blob, const int64_t* name_off,
+        const int64_t* name_idx,     // [n] global fragment-name index
+        const int64_t* local_pos,    // [n] 1-based position in fragment
+        const int32_t* errs,         // [n]
+        uint8_t* out, int64_t out_cap) {
+    static const char FWD[5] = {'A', 'C', 'G', 'T', 'N'};
+    static const char REV[5] = {'T', 'G', 'C', 'A', 'N'};
+    uint8_t* w = out;
+    uint8_t* lim = out + out_cap;
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t p = pid[i];
+        int64_t idl = id_off[p + 1] - id_off[p];
+        int64_t sl = code_off[p + 1] - code_off[p];
+        int64_t nmi = name_idx[i];
+        int64_t nml = name_off[nmi + 1] - name_off[nmi];
+        if (w + idl + sl + nml + 80 > lim) return -1;
+        memcpy(w, id_blob + id_off[p], idl);
+        w += idl;
+        *w++ = '\t';
+        const uint8_t* src = codes_flat + code_off[p];
+        if (inv[i]) {
+            for (int64_t j = sl - 1; j >= 0; --j) *w++ = REV[src[j]];
+        } else {
+            for (int64_t j = 0; j < sl; ++j) *w++ = FWD[src[j]];
+        }
+        *w++ = '\t';
+        if (score) {
+            w += snprintf((char*)w, 32, "%.6g", (double)score[i]);
+            *w++ = '\t';
+        } else {
+            *w++ = '\t';  // empty score column
+        }
+        *w++ = '1'; *w++ = '\t'; *w++ = 'a'; *w++ = '\t';
+        w += snprintf((char*)w, 24, "%lld", (long long)sl);
+        *w++ = '\t';
+        *w++ = inv[i] ? '-' : '+';
+        *w++ = '\t';
+        memcpy(w, name_blob + name_off[nmi], nml);
+        w += nml;
+        *w++ = '\t';
+        w += snprintf((char*)w, 24, "%lld", (long long)local_pos[i]);
+        *w++ = '\t';
+        *w++ = '\t';  // empty type column
+        w += snprintf((char*)w, 16, "%d", errs[i]);
+        *w++ = '\n';
+    }
+    return w - out;
+}
 
 void pack_rows_2bit(const uint8_t* codes, int64_t rows, int64_t row_len,
                     uint32_t* out, int64_t words_per_row) {

@@ -84,3 +84,49 @@ def test_random_roundtrip_fasta(tmp_path):
 def test_stdin_flag_sniff():
     assert reads_io._first_nonspace(
         np.frombuffer(b"\n\n  @x", np.uint8)) == ord("@")
+
+
+def test_native_formatter_vs_numpy(tmp_path):
+    """format_records: native C++ path is byte-identical to the NumPy
+    path across scores on/off, strands, N codes, multi-fragment texts."""
+    import real_tpu.native as native
+    from real_tpu.cli import output as out_mod
+    from real_tpu.config import RealConfig
+    from real_tpu.engine import driver
+
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    g = tmp_path / "g.fa"
+    g.write_text(simulate.random_genome(5000, seed=7, num_fragments=3))
+    codes, _ = fasta.parse_genome(str(g))
+    rds = simulate.generate_reads(codes, 300, 60, 0.05, False, seed=8)
+    rp = tmp_path / "r.fa"
+    simulate.write_reads(rds, str(rp), False)
+    rs = reads_io.parse_reads(str(rp))
+    cfg = RealConfig(textfilename=str(g), patternfilename=str(rp),
+                     outputfilename="-")
+    texts = driver.load_texts(cfg)
+
+    rng = np.random.default_rng(0)
+    n = 500
+    pids = rng.integers(0, rs.num_reads, n)
+    inv = rng.integers(0, 2, n).astype(bool)
+    fileid = np.zeros(n, np.int32)
+    frag = rng.integers(0, texts[0].packed.num_fragments, n).astype(np.int32)
+    fo = np.array([off for _, off in texts[0].packed.ranges], np.int64)
+    pos = (fo[frag] + rng.integers(0, 100, n)).astype(np.int32)
+    errs = rng.integers(0, 6, n).astype(np.int32)
+    score = rng.normal(50, 30, n).astype(np.float32)
+
+    for scores in (True, False):
+        nat = out_mod._format_records_native(
+            rs, pids, inv, fileid, frag, pos, errs, score, texts, scores)
+        assert nat is not None
+        saved, native._lib = native._lib, None
+        try:
+            ref = out_mod._format_records(
+                rs, pids, inv, fileid, frag, pos, errs, score, texts,
+                scores)
+        finally:
+            native._lib = saved
+        assert nat == ref
