@@ -27,6 +27,17 @@ CONFIGS = {
     "yeast": dict(genome_n=12_000_000, numpat=1_000_000, patl=50,
                   totalkmax=3, fastq=True, scores=True, unique=False,
                   errprob=0.02, seed=1202),
+    # BASELINE row 4: Drosophila scale. Data via the chunked fast
+    # generator (benchmarks/gendata.py) — 50M truth-named reads would
+    # take hours through the per-read simulate loop.
+    "fly": dict(genome_n=140_000_000, numpat=50_000_000, patl=100,
+                totalkmax=5, fastq=False, scores=True, unique=True,
+                errprob=0.02, seed=44, fast_gen=True),
+    # BASELINE row 5 shape: >2^31 bases in ONE text file (auto-split at
+    # fragment boundaries, driver.split_oversized); 24 fragments.
+    "grch": dict(genome_n=3_100_000_000, numpat=2_000_000, patl=100,
+                 totalkmax=5, fastq=False, scores=True, unique=True,
+                 errprob=0.02, seed=55, fast_gen=True, fragments=24),
 }
 
 
@@ -36,16 +47,28 @@ def ensure_data(name, c):
     g = os.path.join(d, "genome.fa")
     r = os.path.join(d, "reads.fq" if c["fastq"] else "reads.fa")
     if not (os.path.exists(g) and os.path.exists(r)):
-        from real_tpu.io import fasta
-        from real_tpu.tools import simulate
         print(f"[{name}] generating data...", file=sys.stderr)
-        with open(g, "w") as f:
-            f.write(simulate.random_genome(c["genome_n"], seed=c["seed"]))
-        codes, _ = fasta.parse_genome(g)
-        rds = simulate.generate_reads(codes, c["numpat"], c["patl"],
-                                      c["errprob"], c["fastq"],
-                                      seed=c["seed"] + 1)
-        simulate.write_reads(rds, r, c["fastq"])
+        if c.get("fast_gen"):
+            from benchmarks.gendata import (write_random_genome,
+                                            write_reads_fast)
+            from real_tpu.io import fasta
+            if not os.path.exists(g):
+                write_random_genome(g, c["genome_n"], seed=c["seed"],
+                                    num_fragments=c.get("fragments", 1))
+            codes, _ = fasta.parse_genome(g)
+            write_reads_fast(r, codes, c["numpat"], c["patl"],
+                             c["errprob"], c["fastq"], seed=c["seed"] + 1)
+        else:
+            from real_tpu.io import fasta
+            from real_tpu.tools import simulate
+            with open(g, "w") as f:
+                f.write(simulate.random_genome(c["genome_n"],
+                                               seed=c["seed"]))
+            codes, _ = fasta.parse_genome(g)
+            rds = simulate.generate_reads(codes, c["numpat"], c["patl"],
+                                          c["errprob"], c["fastq"],
+                                          seed=c["seed"] + 1)
+            simulate.write_reads(rds, r, c["fastq"])
     return d, g, r
 
 
