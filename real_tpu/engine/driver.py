@@ -625,12 +625,64 @@ class _HitAccumulator:
         return out
 
 
+def _radix_argsort3(p1: np.ndarray, p2: np.ndarray,
+                    p3: np.ndarray) -> Optional[np.ndarray]:
+    """Native stable LSD radix argsort by (p3, p2, p1) composite order
+    (native/readpack.cpp radix_argsort3); None if the lib is missing."""
+    import ctypes
+
+    from real_tpu import native
+    lib = native.get_lib()
+    if lib is None:
+        return None
+    n = len(p1)
+    out = np.empty(n, np.int64)
+    # keep the contiguous buffers alive across the call
+    a1 = np.ascontiguousarray(p1, np.uint64)
+    a2 = np.ascontiguousarray(p2, np.uint64)
+    a3 = np.ascontiguousarray(p3, np.uint64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.radix_argsort3(n, a1.ctypes.data_as(u64p), a2.ctypes.data_as(u64p),
+                       a3.ctypes.data_as(u64p),
+                       out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out
+
+
 def _sort_dedup_hits(cols: tuple) -> tuple:
     """Sort by (pid; k, pos, fileid, frag, score, inv) — the reference's
     MatchPosAndError ordering (matchAllImplementation.cpp:121-148) — and
-    dedup identical consecutive records (unifyMatches :150-161)."""
+    dedup identical consecutive records (unifyMatches :150-161).
+
+    The 7-key comparator collapses to THREE composite-uint64 stable
+    passes (LSD order): frag is a pure function of (fid, pos) — equal
+    whenever the earlier keys tie — so it never decides; score/inv only
+    decide among same-(pid, k, pos, fid) strand pairs. A 7-key np.lexsort
+    measured ~18 s on 5M hits; the 3-pass form is ~6x faster and exact
+    (cross-checked in tests/test_completeness.py)."""
     pid, k, pos, fid, frag, score, inv = cols
-    order = np.lexsort((inv, score, frag, fid, pos, k, pid))
+    if len(pid) and (int(pid.max()) >= 1 << 60 or int(fid.max()) >= 1 << 16
+                     or int(pos.max()) >= 1 << 31):
+        order = np.lexsort((inv, score, frag, fid, pos, k, pid))
+    else:
+        # +0.0 so -0.0 keys equal to +0.0 (float compare semantics);
+        # order-preserving f32->u32: flip sign bit (+) / all bits (-)
+        u32 = (score.astype(np.float32) + np.float32(0.0)).view(np.uint32)
+        flip = ((u32.view(np.int32) >> 31).view(np.uint32)
+                & np.uint32(0x7FFFFFFF)) | np.uint32(0x80000000)
+        p1 = (u32 ^ flip).astype(np.uint64)
+        p1 <<= 1
+        p1 |= inv
+        p2 = pos.astype(np.uint64, copy=True)
+        p2 <<= 16
+        p2 |= fid.astype(np.uint64, copy=False)
+        p3 = pid.astype(np.uint64, copy=True)
+        p3 <<= 4
+        p3 |= k.astype(np.uint64, copy=False)
+        order = _radix_argsort3(p1, p2, p3)
+        if order is None:
+            order = np.argsort(p1, kind="stable")
+            order = order[np.argsort(p2[order], kind="stable")]
+            order = order[np.argsort(p3[order], kind="stable")]
     pid, k, pos, fid, frag, score, inv = (
         a[order] for a in (pid, k, pos, fid, frag, score, inv))
     keep = np.ones(len(pid), bool)

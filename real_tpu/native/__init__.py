@@ -70,5 +70,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                    i64p, u8p, f32p, u8p, i64p, i64p, i64p,
                                    i32p, u8p, ctypes.c_int64]
     lib.format_records.restype = ctypes.c_int64
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.radix_argsort3.argtypes = [ctypes.c_int64, u64p, u64p, u64p, i64p]
     _lib = lib
     return _lib

@@ -9,6 +9,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <utility>
 
 namespace {
 
@@ -320,6 +321,104 @@ int64_t format_records(
     }
     return w - out;
 }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Stable LSD radix argsort over up to three u64 keys (k0 least significant).
+// The host-side analogue of the reference's ParallelRadixSort.hpp for the
+// matchAll hit-unification sort (matchAllImplementation.cpp:121-161):
+// byte-wise counting passes, constant bytes skipped, permutation carried.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int kDigitBits = 11;                 // 2048 buckets, like the
+constexpr int kBuckets = 1 << kDigitBits;      // reference's radix sort
+
+// One stable counting pass on digit (cur >> shift): permutes (cur, nxt,
+// idx) SoA triples into the tmp arrays and swaps. Sequential reads,
+// 2048-stream writes — no random gathers.
+void radix_pass11(uint64_t*& cur, uint64_t*& nxt, int64_t*& idx,
+                  uint64_t*& tcur, uint64_t*& tnxt, int64_t*& tidx,
+                  int shift, int64_t n, int64_t* count) {
+    memset(count, 0, kBuckets * sizeof(int64_t));
+    const uint64_t mask = kBuckets - 1;
+    for (int64_t i = 0; i < n; ++i)
+        ++count[(cur[i] >> shift) & mask];
+    if (count[(cur[0] >> shift) & mask] == n) return;   // constant digit
+    int64_t sum = 0;
+    for (int b = 0; b < kBuckets; ++b) {
+        int64_t c = count[b];
+        count[b] = sum;
+        sum += c;
+    }
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t d = count[(cur[i] >> shift) & mask]++;
+        tcur[d] = cur[i];
+        tnxt[d] = nxt[i];
+        tidx[d] = idx[i];
+    }
+    std::swap(cur, tcur);
+    std::swap(nxt, tnxt);
+    std::swap(idx, tidx);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Stable argsort by the composite order (k2, k1, k0) — k0 least
+// significant. LSD over 11-bit digits of k0, then k1, then k2; while
+// digit passes of key j run, key j+1 rides along so it is permutation-
+// consistent when its turn comes (k0 never needs to ride: it is consumed
+// first; k2 rides during k1's passes via the nxt slot).
+void radix_argsort3(int64_t n, const uint64_t* k0, const uint64_t* k1,
+                    const uint64_t* k2, int64_t* idx_out) {
+    for (int64_t i = 0; i < n; ++i) idx_out[i] = i;
+    if (n < 2) return;
+    uint64_t* bufa = new uint64_t[n];
+    uint64_t* bufb = new uint64_t[n];
+    uint64_t* bufc = new uint64_t[n];
+    uint64_t* bufd = new uint64_t[n];
+    int64_t* idx = idx_out;
+    int64_t* tidx = new int64_t[n];
+    int64_t* count = new int64_t[kBuckets];
+
+    const uint64_t* keys[3] = {k0, k1, k2};
+    uint64_t *cur = bufa, *nxt = bufb, *tcur = bufc, *tnxt = bufd;
+    // load k0 into cur and k1 into nxt (both in original order)
+    memcpy(cur, k0, n * sizeof(uint64_t));
+    memcpy(nxt, k1, n * sizeof(uint64_t));
+    for (int kk = 0; kk < 3; ++kk) {
+        uint64_t mx = 0;
+        const uint64_t* src = keys[kk];
+        for (int64_t i = 0; i < n; ++i)
+            if (src[i] > mx) mx = src[i];
+        for (int shift = 0; shift < 64 && (mx >> shift);
+             shift += kDigitBits)
+            radix_pass11(cur, nxt, idx, tcur, tnxt, tidx, shift, n, count);
+        if (kk == 2) break;
+        // promote: nxt becomes the active key; load the following key
+        // (permuted by idx) into the nxt slot
+        std::swap(cur, nxt);
+        if (kk == 0) {
+            for (int64_t i = 0; i < n; ++i) nxt[i] = k2[idx[i]];
+        }
+    }
+    if (idx != idx_out) {
+        memcpy(idx_out, idx, n * sizeof(int64_t));
+        delete[] idx;
+    } else {
+        delete[] tidx;
+    }
+    delete[] bufa; delete[] bufb; delete[] bufc; delete[] bufd;
+    delete[] count;
+}
+
+}  // extern "C"
+
+extern "C" {
 
 void pack_rows_2bit(const uint8_t* codes, int64_t rows, int64_t row_len,
                     uint32_t* out, int64_t words_per_row) {
