@@ -168,6 +168,13 @@ def _bsearch_steps_static(num_windows: int, cand_cap: int,
     overflow -> escalation (each escalation level adds bisection steps,
     and host reruns add 8 per depth); it can never silently drop a true
     hit."""
+    # Low-occupancy shards skip bisection entirely: with mean bucket
+    # occupancy <= cand_cap/2 the bucket range IS (almost always) the
+    # equal range; oversize buckets trip count>K overflow -> escalation
+    # (which adds esc_steps of bisection) or the host rerun. Measured on
+    # TPU: the 16 bisection gathers were ~38% of the whole match step.
+    if extra == 0 and num_windows <= (cand_cap << 21):
+        return 0
     avg = max(num_windows / float(1 << 22), 1.0)
     occ = max(64.0 * avg, float(2 * cand_cap))
     steps = int(np.ceil(np.log2(occ + 1)))

@@ -259,8 +259,18 @@ def find_survivors(
         h = sc.bucket_key(by_list_hi, by_list).astype(jnp.int32)
     else:
         h = (by_list >> jnp.uint32(sc.bucket_shift)).astype(jnp.int32)
-    lo = jnp.take_along_axis(index_bb, h, axis=1)
-    hi = jnp.take_along_axis(index_bb, h + 1, axis=1)
+    # flat 1-D gathers throughout: [6, n]-indexed take_along_axis lowers
+    # to a batched gather that measured ~14 ns/element on TPU (60% of the
+    # whole match step inside the bisection loop); a flat take on the
+    # reshaped array lowers to the fast 1-D path
+    nbuck = index_bb.shape[1]
+    bb_flat = index_bb.reshape(-1)
+    list_base_bb = (jnp.arange(NUM_LISTS, dtype=jnp.int32) * nbuck)[:, None]
+    lo = jnp.take(bb_flat, h + list_base_bb)
+    hi = jnp.take(bb_flat, h + 1 + list_base_bb)
+    sig_flat = index_sig.reshape(-1)
+    sig_hi_flat = index_sig_hi.reshape(-1) if sc.wide else None
+    list_base = (jnp.arange(NUM_LISTS, dtype=jnp.int32) * M)[:, None]
     if bsearch_steps:
         # refine to the exact equal range with two bisections (first >=
         # probe, first > probe). The true boundary always lies in [l, h2],
@@ -276,10 +286,10 @@ def find_survivors(
             l, h2 = lo, hi
             for _ in range(bsearch_steps):
                 mid = (l + h2) >> 1
-                safe = jnp.minimum(mid, M - 1)
-                v = jnp.take_along_axis(index_sig, safe, axis=1)
+                safe = jnp.minimum(mid, M - 1) + list_base
+                v = jnp.take(sig_flat, safe)
                 if sc.wide:
-                    vh = jnp.take_along_axis(index_sig_hi, safe, axis=1)
+                    vh = jnp.take(sig_hi_flat, safe)
                     le = (vh < by_list_hi) | ((vh == by_list_hi)
                                               & (v <= by_list))
                     lt = (vh < by_list_hi) | ((vh == by_list_hi)
@@ -295,20 +305,46 @@ def find_survivors(
         end = bisect(True)[1]
     else:
         begin, end = lo, hi
-    count = jnp.minimum(end - begin, jnp.int32(2 * M))   # [6, 2B]
-    over_probe = count > K
-    overflow = over_probe.reshape(NUM_LISTS, 2, B).any(axis=(0, 1))
 
     def to_probe_major(a):   # [6, 2B] -> [B, 12], probe = strand*6 + list
         return a.reshape(NUM_LISTS, 2, B).transpose(2, 1, 0).reshape(B, -1)
 
+    count = jnp.minimum(end - begin, jnp.int32(2 * M))   # [6, 2B]
     begin_pm = to_probe_major(begin)                     # [B, 12]
     count_pm = to_probe_major(count)
-
-    # lane validity purely from counts — no gathers
     lane = jnp.arange(K, dtype=jnp.int32)
-    cand_valid = (lane[None, None, :] < count_pm[..., None]) \
-        & read_valid[:, None, None]                      # [B, 12, K]
+
+    if bsearch_steps:
+        # exact equal ranges: lane validity purely from counts, no gathers
+        over_probe = count > K
+        overflow = over_probe.reshape(NUM_LISTS, 2, B).any(axis=(0, 1))
+        cand_valid = (lane[None, None, :] < count_pm[..., None]) \
+            & read_valid[:, None, None]                  # [B, 12, K]
+    else:
+        # bucket ranges (low-occupancy shards): gather the first K lane
+        # signatures per probe and take equality as validity — HALF the
+        # gather volume of an 8-step bisection, and the survivor count
+        # then counts TRUE candidates (a raw bucket-lane count would trip
+        # the >S overflow on nearly every read). The equal range escapes
+        # the K-lane window only when the bucket holds > K entries and
+        # lane K-1 hasn't passed the probe yet — that (rare) case raises
+        # overflow -> escalation, which adds bisection steps.
+        probe_list = (jnp.arange(2 * NUM_LISTS, dtype=jnp.int32)
+                      % NUM_LISTS) * M                    # [12]
+        idxs = jnp.clip(begin_pm[..., None] + lane, 0, M - 1) \
+            + probe_list[None, :, None]                   # [B, 12, K]
+        lane_sig = jnp.take(sig_flat, idxs)
+        eq = lane_sig == probe_sig[..., None]
+        last_le = lane_sig[..., K - 1] <= probe_sig
+        if sc.wide:
+            lane_hi = jnp.take(sig_hi_flat, idxs)
+            eq &= lane_hi == probe_hi[..., None]
+            lhk, lsk = lane_hi[..., K - 1], lane_sig[..., K - 1]
+            last_le = (lhk < probe_hi) | ((lhk == probe_hi)
+                                          & (lsk <= probe_sig))
+        in_range = lane[None, None, :] < count_pm[..., None]
+        cand_valid = in_range & eq & read_valid[:, None, None]
+        overflow = ((count_pm > K) & last_le).any(axis=1)
 
     # ---- compaction to S survivors in merge order --------------------------
     # (probe-major = list 0..5 straight then reverse,
@@ -328,18 +364,24 @@ def find_survivors(
     s_inv = s_probe >= NUM_LISTS
     s_list = jnp.where(s_inv, s_probe - NUM_LISTS, s_probe)
 
-    # one (position, signature) gather pair per survivor lane; the sig
-    # equality drops bucket-mates so only exact equal-range members — the
-    # reference's candidates, in the reference's order — enter the fold
+    # one position gather per survivor lane; with bisection the stored
+    # signature is also gathered and compared — an unconverged bisection
+    # over-approximates the equal range, and a bucket-mate admitted
+    # through the wrong list would enter the fold EARLIER than reference
+    # probe order, observable by the order-sensitive scores automaton.
+    # The lane-signature path (bsearch_steps == 0) already proved
+    # equality per lane, so the re-check is skipped there.
     s_idx = jnp.take_along_axis(begin_pm, s_probe, axis=1) + s_lane
     flat = s_list * M + jnp.clip(s_idx, 0, M - 1)
     cand_rpos = jnp.take(index_pos.reshape(-1), flat)    # [B, S]
-    cand_sig = jnp.take(index_sig.reshape(-1), flat)
-    probe_of_lane = jnp.take_along_axis(probe_sig, s_probe, axis=1)
-    s_valid &= cand_sig == probe_of_lane
-    if sc.wide:
-        cand_hi = jnp.take(index_sig_hi.reshape(-1), flat)
-        s_valid &= cand_hi == jnp.take_along_axis(probe_hi, s_probe, axis=1)
+    if bsearch_steps:
+        cand_sig = jnp.take(index_sig.reshape(-1), flat)
+        probe_of_lane = jnp.take_along_axis(probe_sig, s_probe, axis=1)
+        s_valid &= cand_sig == probe_of_lane
+        if sc.wide:
+            cand_hi = jnp.take(index_sig_hi.reshape(-1), flat)
+            s_valid &= cand_hi == jnp.take_along_axis(probe_hi, s_probe,
+                                                      axis=1)
 
     # reverse-complement hits place the indexed seed at the END of the
     # window: pos = rpos - restlen (RestMatch.hpp:84-89)
@@ -352,8 +394,14 @@ def find_survivors(
 
     # fragment containment (RangeVector::isPositionValid, RangeVector.hpp:63)
     nfrag = frag_offsets.shape[0] - 1
-    s_frag = jnp.searchsorted(frag_offsets, posc.reshape(-1),
-                              side="right").reshape(posc.shape) - 1
+    if nfrag <= 512:
+        # vectorized count beats searchsorted's while-loop lowering on
+        # TPU for small fragment tables: frag = #{j>=1: off[j] <= pos}
+        s_frag = (frag_offsets[1:-1][None, None, :]
+                  <= posc[..., None]).sum(axis=-1).astype(jnp.int32)
+    else:
+        s_frag = jnp.searchsorted(frag_offsets, posc.reshape(-1),
+                                  side="right").reshape(posc.shape) - 1
     s_frag = jnp.clip(s_frag, 0, nfrag - 1).astype(jnp.int32)
     s_valid &= (s_pos + patl) <= frag_offsets[s_frag + 1]
 
@@ -606,7 +654,9 @@ def fold_unique(state: MatchState, surv: Survivors, fileid,
         )
         return new, None
 
-    final, _ = lax.scan(step, state, xs)
+    # unrolled: S is small and static; a rolled while loop pays ~ms of
+    # per-iteration launch overhead on TPU for [B]-sized bodies
+    final, _ = lax.scan(step, state, xs, unroll=True)
     return final
 
 

@@ -122,10 +122,12 @@ def build_lists_impl(words: jnp.ndarray, nbits: jnp.ndarray,
     spos = jnp.where(valid, pos, POS_SENTINEL)
     poss = jnp.broadcast_to(spos, (NUM_LISTS, num_windows))
 
-    # one batched variadic sort over all six lists ([6, M] rows) — a single
-    # XLA sort op keeps compile time flat vs six separate sorts.
-    # stable ascending (sig, pos): reference lists are stable radix sorted,
-    # so equal signatures keep ascending text position
+    # one batched SINGLE-KEY STABLE sort over all six lists ([6, M] rows).
+    # The position payload is already ascending within each row, so a
+    # stable sort on the signature alone IS the (sig, pos) lexicographic
+    # order the reference's stable radix sort produces — and XLA's TPU
+    # single-key sort path measured ~100x faster than the variadic
+    # num_keys=2 comparator sort (0.005s vs 0.5s at [6, 4.6M]).
     nb = 1 << sc.bucket_bits
     if sc.wide:
         pairs = sc.compose_pairs_wide(segs)      # list of ([M], [M]) planes
@@ -133,14 +135,19 @@ def build_lists_impl(words: jnp.ndarray, nbits: jnp.ndarray,
                              for j in range(NUM_LISTS)])
         keys_lo = jnp.stack([jnp.where(valid, pairs[j][1], SIG_SENTINEL)
                              for j in range(NUM_LISTS)])
-        shi, skey, sp = lax.sort((keys_hi, keys_lo, poss), num_keys=3,
-                                 dimension=1)
+        # (hi, lo) lex order via two chained stable single-key sorts
+        # (LSD: sort by lo, then stably by hi)
+        slo, khi, sp = lax.sort((keys_lo, keys_hi, poss), num_keys=1,
+                                dimension=1, is_stable=True)
+        shi, skey, sp = lax.sort((khi, slo, sp), num_keys=1,
+                                 dimension=1, is_stable=True)
         h = sc.bucket_key(shi, skey).astype(jnp.int32)
     else:
         sigs = sc.compose_pairs(segs)            # list of [M] uint32
         keys = jnp.stack([jnp.where(valid, sigs[j], SIG_SENTINEL)
                           for j in range(NUM_LISTS)])
-        skey, sp = lax.sort((keys, poss), num_keys=2, dimension=1)
+        skey, sp = lax.sort((keys, poss), num_keys=1, dimension=1,
+                            is_stable=True)
         shi = None
         h = (skey >> jnp.uint32(sc.bucket_shift)).astype(jnp.int32)
 
