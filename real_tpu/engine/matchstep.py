@@ -209,7 +209,7 @@ def _seed_masks(patl: int, seedl: int, nw: int):
 
 
 def find_survivors(
-        index_sig, index_pos, index_bb,            # [6, M] + bucket table
+        index_sig, index_pos, index_bb,            # flat [6*M] + buckets
         words, nbits, ncum, frag_offsets,          # text arrays
         codes, quals, read_valid,                  # [B, L], [B, L], [B]
         *, seedl: int, seedkmax: int, totalkmax: int,
@@ -241,7 +241,7 @@ def find_survivors(
     K, S = cand_cap, survivor_cap
     restlen = patl - seedl
     kw = (patl + 15) // 16
-    M = index_sig.shape[1]
+    M = index_sig.shape[0] // NUM_LISTS       # flat [6*M] list layout
 
     sc = SigConfig(seedl)
     probe_hi, probe_sig = compute_probes(codes, seedl)
@@ -261,15 +261,15 @@ def find_survivors(
         h = (by_list >> jnp.uint32(sc.bucket_shift)).astype(jnp.int32)
     # flat 1-D gathers throughout: [6, n]-indexed take_along_axis lowers
     # to a batched gather that measured ~14 ns/element on TPU (60% of the
-    # whole match step inside the bisection loop); a flat take on the
-    # reshaped array lowers to the fast 1-D path
-    nbuck = index_bb.shape[1]
-    bb_flat = index_bb.reshape(-1)
+    # whole match step inside the bisection loop). The index arrays
+    # arrive FLAT from the build: reshaping tiled [6, M] arrays here
+    # would lower to a while-loop layout-conversion copy every step.
+    nbuck = index_bb.shape[0] // NUM_LISTS
     list_base_bb = (jnp.arange(NUM_LISTS, dtype=jnp.int32) * nbuck)[:, None]
-    lo = jnp.take(bb_flat, h + list_base_bb)
-    hi = jnp.take(bb_flat, h + 1 + list_base_bb)
-    sig_flat = index_sig.reshape(-1)
-    sig_hi_flat = index_sig_hi.reshape(-1) if sc.wide else None
+    lo = jnp.take(index_bb, h + list_base_bb)
+    hi = jnp.take(index_bb, h + 1 + list_base_bb)
+    sig_flat = index_sig
+    sig_hi_flat = index_sig_hi if sc.wide else None
     list_base = (jnp.arange(NUM_LISTS, dtype=jnp.int32) * M)[:, None]
     if bsearch_steps:
         # refine to the exact equal range with two bisections (first >=
@@ -373,13 +373,13 @@ def find_survivors(
     # equality per lane, so the re-check is skipped there.
     s_idx = jnp.take_along_axis(begin_pm, s_probe, axis=1) + s_lane
     flat = s_list * M + jnp.clip(s_idx, 0, M - 1)
-    cand_rpos = jnp.take(index_pos.reshape(-1), flat)    # [B, S]
+    cand_rpos = jnp.take(index_pos, flat)                # [B, S]
     if bsearch_steps:
-        cand_sig = jnp.take(index_sig.reshape(-1), flat)
+        cand_sig = jnp.take(index_sig, flat)
         probe_of_lane = jnp.take_along_axis(probe_sig, s_probe, axis=1)
         s_valid &= cand_sig == probe_of_lane
         if sc.wide:
-            cand_hi = jnp.take(index_sig_hi.reshape(-1), flat)
+            cand_hi = jnp.take(index_sig_hi, flat)
             s_valid &= cand_hi == jnp.take_along_axis(probe_hi, s_probe,
                                                       axis=1)
 
@@ -654,9 +654,11 @@ def fold_unique(state: MatchState, surv: Survivors, fileid,
         )
         return new, None
 
-    # unrolled: S is small and static; a rolled while loop pays ~ms of
-    # per-iteration launch overhead on TPU for [B]-sized bodies
-    final, _ = lax.scan(step, state, xs, unroll=True)
+    # partially unrolled: a rolled while loop pays per-iteration launch
+    # overhead on TPU for [B]-sized bodies, while full unroll at the
+    # escalated S=32 lane count blows up compile time — 8 balances both
+    final, _ = lax.scan(step, state, xs,
+                        unroll=min(8, surv.valid.shape[1]))
     return final
 
 

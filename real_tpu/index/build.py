@@ -54,9 +54,9 @@ class SignatureIndex:
     from the text window itself (engine/matchstep.py find_survivors), so
     the index is (sig, pos) only — 48 B/window vs the reference's
     cross-linked Mask records (Mask.hpp:36-40)."""
-    sig: jnp.ndarray    # uint32 [6, M] sorted (primary key; lo plane if wide)
-    pos: jnp.ndarray    # int32  [6, M] window position (sentinel if invalid)
-    bb: jnp.ndarray     # int32  [6, 2^bucket_bits + 1] bucket begin table
+    sig: jnp.ndarray    # uint32 [6*M] flat sorted lists (lo plane if wide)
+    pos: jnp.ndarray    # int32  [6*M] window position (sentinel if invalid)
+    bb: jnp.ndarray     # int32  [6*(2^bucket_bits+1)] flat bucket begins
     seedl: int
     # high uint32 plane of 64-bit signatures (seedl > 32, the reference's
     # u_int64_t dispatch real.cpp:217-221); None for seedl <= 32
@@ -156,12 +156,19 @@ def build_lists_impl(words: jnp.ndarray, nbits: jnp.ndarray,
     h = h + (jnp.arange(NUM_LISTS, dtype=jnp.int32) * nb)[:, None]
     w8 = (sp != POS_SENTINEL).astype(jnp.int32)
     counts = jax.ops.segment_sum(w8.reshape(-1), h.reshape(-1),
-                                 num_segments=NUM_LISTS * nb)
+                                 num_segments=NUM_LISTS * nb,
+                                 indices_are_sorted=True)
     counts = counts.reshape(NUM_LISTS, nb)
     bb = jnp.concatenate(
         [jnp.zeros((NUM_LISTS, 1), jnp.int32),
          jnp.cumsum(counts, axis=1, dtype=jnp.int32)], axis=1)
-    return shi, skey, sp, bb
+    # FLAT [6*M] / [6*(NB+1)] output layout: the match step indexes the
+    # lists with flat 1-D gathers, and a per-step reshape of the tiled
+    # [6, M] arrays would lower to a while-loop layout-conversion copy
+    # (~6.5 ms per step measured on TPU); converting once at build time
+    # amortizes it over every batch of the shard.
+    return (shi.reshape(-1) if shi is not None else None,
+            skey.reshape(-1), sp.reshape(-1), bb.reshape(-1))
 
 
 _build_lists = jax.jit(build_lists_impl,

@@ -123,8 +123,10 @@ def build_index_host(text, seedl: int, start: int = 0,
     ncum = np.asarray(text.ncum)
     sig_hi, sig, pos, bb = build_lists_host(words, nbits, ncum, text.n,
                                             seedl, start, num_windows)
-    return SignatureIndex(sig=jnp.asarray(sig),
-                          pos=jnp.asarray(pos), bb=jnp.asarray(bb),
+    # flat [6*M] layout, matching the device build (see index/build.py)
+    return SignatureIndex(sig=jnp.asarray(sig.reshape(-1)),
+                          pos=jnp.asarray(pos.reshape(-1)),
+                          bb=jnp.asarray(bb.reshape(-1)),
                           seedl=seedl,
                           sig_hi=None if sig_hi is None
-                          else jnp.asarray(sig_hi))
+                          else jnp.asarray(sig_hi.reshape(-1)))

@@ -93,7 +93,7 @@ def sharded_match_step(index_sig, index_pos, index_bb,
                        words, nbits, ncum, frag_offsets,     # replicated
                        codes, quals, read_valid,             # [B,...] dp
                        state: MatchState, fileid, epsilon,
-                       index_sig_hi=None,                    # [n_shard,6,M]
+                       index_sig_hi=None,                    # [n_shard,6*M]
                        *, tables=None, seedl: int, seedkmax: int,
                        totalkmax: int, cand_cap: int, survivor_cap: int,
                        scores: bool, score_mode: str, mesh: Mesh,
