@@ -151,8 +151,13 @@ def build_lists_impl(words: jnp.ndarray, nbits: jnp.ndarray,
         shi = None
         h = (skey >> jnp.uint32(sc.bucket_shift)).astype(jnp.int32)
 
-    # bucket-begin tables (getLookupTable.hpp:26-51): one histogram over the
-    # top bucket_bits of each list, sentinels excluded, then exclusive scan
+    # bucket-begin tables (getLookupTable.hpp:26-51): one histogram over
+    # the top bucket_bits of each list, sentinels excluded, exclusive
+    # scan. Sentinel entries are pinned to the top bucket first: the wide
+    # sentinel hi plane (0xFFFFFFFF) exceeds the legal plane range so
+    # bucket_key can wrap negative, which would break the sorted-indices
+    # contract below (their weight is 0 either way).
+    h = jnp.where(sp != POS_SENTINEL, h, jnp.int32(nb - 1))
     h = h + (jnp.arange(NUM_LISTS, dtype=jnp.int32) * nb)[:, None]
     w8 = (sp != POS_SENTINEL).astype(jnp.int32)
     counts = jax.ops.segment_sum(w8.reshape(-1), h.reshape(-1),

@@ -226,8 +226,14 @@ def parse_reads_sliced(path: str, rank: int, nranks: int,
 
 
 def _first_nonspace(buf: np.ndarray) -> int:
-    idx = np.flatnonzero(~_WHITESPACE[buf])
-    return int(buf[idx[0]]) if len(idx) else 0
+    # chunked early exit: a full-buffer scan costs ~100 ms on a 12 MB
+    # file just to sniff the first record character
+    for i in range(0, len(buf), 4096):
+        chunk = buf[i:i + 4096]
+        idx = np.flatnonzero(~_WHITESPACE[chunk])
+        if len(idx):
+            return int(chunk[idx[0]])
+    return 0
 
 
 def _line_table(buf: np.ndarray):
