@@ -24,8 +24,14 @@ CONFIGS = {
     "chr21": dict(genome_n=46_700_000, numpat=1_000_000, patl=75,
                   totalkmax=4, fastq=True, scores=True, unique=True,
                   errprob=0.02, seed=2103),
+    # FASTA, not FASTQ: the reference's matchAll path always instantiates
+    # the FASTA reader (real.cpp:325-328 — SURVEY §3.2 bug), so a FASTQ
+    # read file parses as ZERO patterns and the reference "finishes" in
+    # seconds with empty output — any FASTQ-based speedup number would
+    # compare real work against nothing (round-2's config-2 figure had
+    # exactly this flaw).
     "yeast": dict(genome_n=12_000_000, numpat=1_000_000, patl=50,
-                  totalkmax=3, fastq=True, scores=True, unique=False,
+                  totalkmax=3, fastq=False, scores=True, unique=False,
                   errprob=0.02, seed=1202),
     # BASELINE row 4: Drosophila scale. Data via the chunked fast
     # generator (benchmarks/gendata.py) — 50M truth-named reads would
@@ -81,15 +87,18 @@ def ref_cmd(ref, g, r, out, c):
 def run_reference(name, c, d, g, r):
     cache = os.path.join(d, "ref_time.json")
     refout = os.path.join(d, "ref.out")
+    key = f"{os.path.getsize(g)}-{os.path.getsize(r)}-{sorted(c.items())}"
     if os.path.exists(cache) and os.path.exists(refout):
-        return json.load(open(cache))["seconds"], refout
+        data = json.load(open(cache))
+        if data.get("key", "") == key:
+            return data["seconds"], refout
     ref = os.path.join(REPO, ".refbuild", "src", "real")
     print(f"[{name}] running reference (8 threads)...", file=sys.stderr)
     t0 = time.perf_counter()
     subprocess.run(ref_cmd(ref, g, r, refout, c), check=True,
                    capture_output=True)
     dt = time.perf_counter() - t0
-    json.dump({"seconds": dt}, open(cache, "w"))
+    json.dump({"seconds": dt, "key": key}, open(cache, "w"))
     return dt, refout
 
 
@@ -105,13 +114,15 @@ def run_ours(name, c, d, g, r):
                      match_unique=c["unique"], scores=c["scores"],
                      totalkmax=c["totalkmax"], verbose=True)
 
-    # warmup on a small prefix so compile time is excluded (one-time,
-    # persistent-cached across runs)
+    # warmup on a batch-size prefix so compile time is excluded (the
+    # warm run must use the PRODUCTION batch shape — a smaller prefix
+    # compiles a smaller power-of-two batch and the timed run then pays
+    # the real compile; one-time, persistent-cached across runs)
     import numpy as np
     rs = parse_reads_cached(r, 0)
     cfg.fastq = rs.fastq
     texts = driver.load_texts(cfg)
-    warm = np.arange(min(1024, rs.num_reads))
+    warm = np.arange(min(cfg.batch_size, rs.num_reads))
     if c["unique"]:
         driver.run_match_unique(cfg, rs, texts, patid_filter=warm)
     else:

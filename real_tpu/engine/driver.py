@@ -169,11 +169,14 @@ def _bsearch_steps_static(num_windows: int, cand_cap: int,
     and host reruns add 8 per depth); it can never silently drop a true
     hit."""
     # Low-occupancy shards skip bisection entirely: with mean bucket
-    # occupancy <= cand_cap/2 the bucket range IS (almost always) the
+    # occupancy <= cand_cap/4 the bucket range IS (almost always) the
     # equal range; oversize buckets trip count>K overflow -> escalation
     # (which adds esc_steps of bisection) or the host rerun. Measured on
     # TPU: the 16 bisection gathers were ~38% of the whole match step.
-    if extra == 0 and num_windows <= (cand_cap << 21):
+    # (At occupancy ~3 — a 12 Mbp genome — the bucket window already
+    # overflows K for ~1.5% of reads, forcing a costly rerun pass, so
+    # the threshold is occupancy 2, not 4.)
+    if extra == 0 and num_windows <= (cand_cap << 20):
         return 0
     avg = max(num_windows / float(1 << 22), 1.0)
     occ = max(64.0 * avg, float(2 * cand_cap))
@@ -579,20 +582,34 @@ class _HitAccumulator:
     def __init__(self) -> None:
         self.cols: List[Tuple[np.ndarray, ...]] = []
 
-    def add(self, sv, patids: np.ndarray, fi: int, n: int,
-            overflow_out: np.ndarray) -> None:
-        overflow_out[patids[sv.overflow[:n]]] = True
-        rr, jj = np.nonzero(sv.valid[:n])
-        if rr.size == 0:
-            return
-        self.cols.append((
-            patids[rr].astype(np.int64),
-            sv.k[:n][rr, jj].astype(np.int64),
-            sv.pos[:n][rr, jj].astype(np.int64),
-            np.full(rr.size, fi, np.int64),
-            sv.frag[:n][rr, jj].astype(np.int64),
-            sv.score[:n][rr, jj].astype(np.float32),
-            sv.inv[:n][rr, jj]))
+    def add_compact(self, ch, patids: np.ndarray, fi: int, n: int,
+                    overflow_out: np.ndarray) -> None:
+        """Decode one step's device-compacted hits (matchstep.CompactHits
+        fetched to numpy; the mesh path concatenates per-dp slices, so
+        `count` may be a vector and row ids are slice-local)."""
+        overflow_out[patids[ch.overflow[:n]]] = True
+        counts = np.atleast_1d(np.asarray(ch.count))
+        ndp = len(counts)
+        H = len(ch.pos) // ndp
+        b_loc = len(ch.overflow) // ndp
+        for d in range(ndp):
+            c = int(min(counts[d], H))
+            if c == 0:
+                continue
+            sl = slice(d * H, d * H + c)
+            rows = (ch.m1[sl] >> 4) + d * b_loc
+            keep = rows < n            # padded rows never produce hits
+            rows = rows[keep]
+            if rows.size == 0:
+                continue
+            self.cols.append((
+                patids[rows].astype(np.int64),
+                (ch.m1[sl][keep] & 15).astype(np.int64),
+                ch.pos[sl][keep].astype(np.int64),
+                np.full(rows.size, fi, np.int64),
+                (ch.m2[sl][keep] >> 1).astype(np.int64),
+                ch.score[sl][keep].astype(np.float32),
+                (ch.m2[sl][keep] & 1).astype(bool)))
 
     _EMPTY = tuple(np.zeros(0, dt) for dt in
                    (np.int64, np.int64, np.int64, np.int64, np.int64,
@@ -756,9 +773,9 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
 
     def drain(to_len: int) -> None:
         while len(pending) > to_len:
-            surv, patids, fi, n = pending.pop(0)
-            hs = jax.tree.map(np.asarray, surv)
-            acc.add(hs, patids, fi, n, overflow)
+            ch, patids, fi, n = pending.pop(0)
+            hs = jax.tree.map(np.asarray, ch)
+            acc.add_compact(hs, patids, fi, n, overflow)
 
     def enqueue(surv, b, fi, bi) -> None:
         _start_fetch(surv)
@@ -812,7 +829,7 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
                     mesh=mesh, bsearch_steps=steps, matchall=True, **kw)
                 enqueue(seq, b, fi, bi)
             checkpoint_unit()
-            return seq.valid if seq is not None else None
+            return seq.pos if seq is not None else None
 
         _foreach_shard_mesh(cfg, texts, cand_cap, visit, prog, skip_units)
     else:
@@ -829,7 +846,7 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
                     matchall=True, bsearch_steps=steps, **kw)
                 enqueue(surv, b, fi, bi)
             checkpoint_unit()
-            return surv.valid if surv is not None else None
+            return surv.pos if surv is not None else None
 
         _foreach_shard_seq(cfg, texts, cand_cap, visit, prog, skip_units)
 

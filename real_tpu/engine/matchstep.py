@@ -740,6 +740,62 @@ def survivors_with_escalation(
         overflow=jnp.where(o, esc.overflow, False))
 
 
+class CompactHits(NamedTuple):
+    """Device-compacted matchAll hits of one step (bounded D2H).
+
+    The raw Survivors tensors are [B, S] x 7 arrays and mostly invalid
+    lanes (~1 true hit per read): fetching them measured ~1.4 MB/batch —
+    the dominant, bandwidth-sensitive cost of matchAll. A stable
+    validity sort compacts the true hits to a [H] prefix of four packed
+    arrays (~4.6x less D2H at H = 2B)."""
+    pos: jnp.ndarray     # int32 [H]
+    m1: jnp.ndarray      # int32 [H] = (row << 4) | k
+    m2: jnp.ndarray      # int32 [H] = (frag << 1) | inv
+    score: jnp.ndarray   # float32 [H]
+    count: jnp.ndarray   # int32 [] — true hit count (may exceed H)
+    overflow: jnp.ndarray  # bool [B] — per-read cap overflow (OR'd with
+    #                        whole-batch hit-count overflow when count > H)
+
+
+def compact_hits(surv: Survivors, cap: int) -> CompactHits:
+    """Compact a step's valid survivor lanes to an [H] prefix.
+
+    Hit order is irrelevant here: matchAll records are globally sorted
+    and deduped on the host (_sort_dedup_hits). If more than H lanes are
+    valid, EVERY read of the batch is flagged overflow — the driver's
+    rerun recomputes all of their hits and discards this batch's
+    (matchAllImplementation.cpp has no cap; this keeps exactness).
+
+    A hit locus is found through up to 6 lists (e.g. all six for a
+    0-seed-error read), producing byte-identical duplicate lanes that
+    the host would drop in unifyMatches anyway — dedup them HERE so the
+    compacted count is ~unique hits (otherwise ~6 lanes/read blow the
+    H = 2B budget and force spurious whole-batch reruns)."""
+    B, S = surv.valid.shape
+    H = min(cap, B * S)
+    # lane i is a duplicate if an earlier valid lane j<i of the same
+    # read has the same (pos, strand) — identical alignment, identical
+    # record fields
+    same = ((surv.pos[:, :, None] == surv.pos[:, None, :])
+            & (surv.inv[:, :, None] == surv.inv[:, None, :])
+            & surv.valid[:, :, None] & surv.valid[:, None, :])
+    earlier = (jnp.arange(S)[None, :] < jnp.arange(S)[:, None])[None]
+    dup = (same & earlier).any(axis=2)
+    v = (surv.valid & ~dup).reshape(-1)
+    row = (jnp.arange(B * S, dtype=jnp.int32) // S)
+    m1 = (row << 4) | jnp.clip(surv.k.reshape(-1), 0, 15)
+    m2 = ((surv.frag.reshape(-1) << 1)
+          | surv.inv.reshape(-1).astype(jnp.int32))
+    key = (~v).astype(jnp.uint32)
+    _, pos, m1, m2, score = lax.sort(
+        (key, surv.pos.reshape(-1), m1, m2, surv.score.reshape(-1)),
+        num_keys=1, dimension=0, is_stable=True)
+    count = v.sum().astype(jnp.int32)
+    over = surv.overflow | (count > H)
+    return CompactHits(pos=pos[:H], m1=m1[:H], m2=m2[:H], score=score[:H],
+                       count=count, overflow=over)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("tables", "seedl", "seedkmax", "totalkmax", "cand_cap",
@@ -772,6 +828,6 @@ def match_step(index_sig, index_pos, index_bb,
         esc_factor=esc_factor, esc_steps=esc_steps,
         index_sig_hi=index_sig_hi)
     if matchall:
-        return state, surv
+        return state, compact_hits(surv, cap=2 * codes.shape[0])
     new_state = fold_unique(state, surv, fileid, epsilon, scores=scores)
     return new_state, surv

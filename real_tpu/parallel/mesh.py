@@ -33,7 +33,8 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from real_tpu.engine.matchstep import (MatchState, Survivors, fold_unique,
+from real_tpu.engine.matchstep import (CompactHits, MatchState, Survivors,
+                                       compact_hits, fold_unique,
                                        survivors_with_escalation)
 from real_tpu.index.signatures import NUM_LISTS
 from real_tpu.text.packed import PackedText
@@ -136,11 +137,15 @@ def sharded_match_step(index_sig, index_pos, index_bb,
             overflow=gathered.overflow.any(axis=0),
         )
         if matchall:
-            return state, seq
+            # compact on device BEFORE leaving the mesh: the raw gathered
+            # survivor tensors are the D2H bandwidth hog (see
+            # matchstep.CompactHits); row ids are LOCAL to this dp slice
+            ch = compact_hits(seq, cap=2 * codes.shape[0])
+            return state, ch._replace(count=ch.count.reshape(1))
         new_state = fold_unique(state, seq, fileid, epsilon, scores=scores)
         return new_state, seq.overflow
 
-    out_spec = (Survivors(*([P("dp")] * 7)) if matchall else P("dp"))
+    out_spec = (CompactHits(*([P("dp")] * 6)) if matchall else P("dp"))
     fn = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(P("shard"), P("shard"), P("shard"),

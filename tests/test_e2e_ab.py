@@ -243,3 +243,91 @@ def test_matchall_noscores(ref_real, tmp_path):
 
 def test_matchall_scores(ref_real, tmp_path):
     _matchall_ab(ref_real, tmp_path, scores=True, seed=17)
+
+
+def test_unique_reads_containing_n(ref_real, tmp_path):
+    """Reads with N bases are skipped by the reference
+    (matchUniqueImplementation.cpp:385-394) — our valid mask must match
+    byte-for-byte."""
+    import numpy as np
+    genome, reads = ab_util.make_inputs(tmp_path, n=20000, numpat=300,
+                                        patlen=80, errprob=0.02, seed=17)
+    # inject N's into ~1/3 of the reads (deterministic)
+    lines = open(reads).read().splitlines()
+    rng = np.random.default_rng(18)
+    for i in range(1, len(lines), 2):       # sequence lines
+        if (i // 2) % 3 == 0:
+            s = list(lines[i])
+            s[int(rng.integers(0, len(s)))] = "N"
+            lines[i] = "".join(s)
+    with open(reads, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    ref = ab_util.run_reference(
+        ref_real, genome, reads, str(tmp_path / "ref.out"),
+        ab_util.ref_flags(scores=True))
+    ours = ab_util.run_ours(genome, reads, scores=True)
+    assert ours == ref
+
+
+def test_directory_of_fa_texts(ref_real, tmp_path):
+    """-t <dir>: recursive *.fa enumeration (getFileList.cpp:136-174)."""
+    from real_tpu.io import fasta
+    from real_tpu.tools import simulate
+    d = tmp_path / "texts"
+    d.mkdir()
+    (d / "a.fa").write_text(simulate.random_genome(12000, seed=31,
+                                                   name="ga"))
+    (d / "b.fa").write_text(simulate.random_genome(9000, seed=32,
+                                                   name="gb"))
+    codes, _ = fasta.parse_genome(str(d / "a.fa"))
+    rds = simulate.generate_reads(codes, 150, 70, 0.02, False, seed=33)
+    reads = str(tmp_path / "r.fa")
+    simulate.write_reads(rds, reads, False)
+    ref = ab_util.run_reference(
+        ref_real, str(d), reads, str(tmp_path / "ref.out"),
+        ab_util.ref_flags(scores=True))
+    ours = ab_util.run_ours(str(d), reads, scores=True)
+    assert ours == ref
+
+
+def test_fastq_illumina_offset_autodetect(ref_real, tmp_path):
+    """Quality chars >= 94 ('^') => Illumina offset 64 autodetect
+    (FastQReader.hpp:221-239)."""
+    genome, reads = ab_util.make_inputs(tmp_path, n=20000, numpat=200,
+                                        patlen=60, errprob=0.02, seed=23,
+                                        fastq=True)
+    # rewrite qualities to Illumina-offset chars (all >= 94: decisive)
+    lines = open(reads).read().splitlines()
+    for i in range(3, len(lines), 4):
+        # D (Q=35 Sanger) -> 'c' (99-64=35), * (Q=9) -> 'I' is Sanger...
+        # use chars 64+q: q=35 -> 'c'(99), q=9 -> 'I'(73) is NOT >= 94;
+        # keep it simple: high qualities only, all decisive
+        lines[i] = "".join("h" if c == "D" else "`" for c in lines[i])
+    with open(reads, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    ref = ab_util.run_reference(
+        ref_real, genome, reads, str(tmp_path / "ref.out"),
+        ab_util.ref_flags(scores=True))
+    ours = ab_util.run_ours(genome, reads, scores=True)
+    assert ours == ref
+
+
+def test_stdin_reads(ref_real, tmp_path, monkeypatch):
+    """-p -: read patterns from stdin (RealOptions.cpp:418-426)."""
+    import io as _io
+    import subprocess
+    genome, reads = ab_util.make_inputs(tmp_path, n=15000, numpat=150,
+                                        patlen=64, errprob=0.02, seed=27)
+    blob = open(reads, "rb").read()
+    refout = str(tmp_path / "ref.out")
+    subprocess.run([ref_real, "-t", genome, "-p", "-", "-o", refout,
+                    "-T", "2", *ab_util.ref_flags(scores=True)],
+                   input=blob, check=True, capture_output=True)
+    ref = open(refout).read()
+
+    class _Stdin:
+        buffer = _io.BytesIO(blob)
+    import sys as _sys
+    monkeypatch.setattr(_sys, "stdin", _Stdin())
+    ours = ab_util.run_ours(genome, "-", scores=True)
+    assert ours == ref
