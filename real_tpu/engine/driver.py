@@ -178,8 +178,12 @@ def _bsearch_steps_static(num_windows: int, cand_cap: int,
     # the threshold is occupancy 2, not 4.)
     if extra == 0 and num_windows <= (cand_cap << 20):
         return 0
+    # depth for 8x the mean occupancy: Poisson tails over 2^22 buckets
+    # stay within ~4x the mean, and an unconverged bucket only raises
+    # overflow -> escalation (never a silent miss), so the old 64x
+    # sizing paid 4 extra gathers per probe for nothing
     avg = max(num_windows / float(1 << 22), 1.0)
-    occ = max(64.0 * avg, float(2 * cand_cap))
+    occ = max(8.0 * avg, float(2 * cand_cap))
     steps = int(np.ceil(np.log2(occ + 1)))
     return min(-(-steps // 4) * 4 + extra, 30)
 
