@@ -38,6 +38,12 @@ def hbm_bytes_per_device() -> int:
             return int(stats["bytes_limit"])
     except Exception:
         pass
+    if devs[0].platform != "cpu":
+        # accelerator with unprobeable stats (e.g. tunneled/experimental
+        # platforms): host RAM is NOT a proxy for HBM — a 125 GB MemTotal
+        # fallback planned a single 140M-window shard and OOM'd a 16 GB
+        # v5e
+        return _DEFAULT_HBM
     try:
         with open("/proc/meminfo") as f:
             for line in f:
