@@ -70,7 +70,8 @@ def main():
     out["num_windows"] = int(text.n - cfg.seedl + 1)
 
     tables = score_tables(Scoring())
-    steps = driver._bsearch_steps_static(out["num_windows"], cfg.cand_cap)
+    steps = driver._bsearch_steps_static(out["num_windows"], cfg.cand_cap,
+                                         idx.bucket_bits)
     out["bsearch_steps"] = steps
 
     for bs in [int(x) for x in args.batches.split(",")]:

@@ -155,35 +155,28 @@ def _shard_bounds(num_windows: int, num_shards: int) -> List[Tuple[int, int]]:
 
 
 def _bsearch_steps_static(num_windows: int, cand_cap: int,
-                          extra: int = 0) -> int:
+                          bucket_bits: int, extra: int = 0) -> int:
     """Static in-bucket binary-search depth for find_survivors, chosen on
-    the HOST from the shard's window count alone — no device sync.
+    the HOST from the shard's window count and bucket width — no device
+    sync.
 
-    Sized to converge the equal-range bisection for buckets up to 64x the
-    mean occupancy (way past Poisson tails on real genomes). Safety does
+    With per-shard bucket widths (index.build.pick_bucket_bits) mean
+    occupancy stays ~1 up to 2^25-window shards, so the bucket range IS
+    (almost always) the equal range and bisection is skipped — its 16
+    gathers per probe measured ~38% of the whole match step. Safety does
     NOT depend on the heuristic: an unconverged bisection returns the
     conservative bounds (lower for begin, upper for end — see
     matchstep.find_survivors), so a deeper-than-planned bucket only
     over-approximates its candidate range, which at worst raises an
-    overflow -> escalation (each escalation level adds bisection steps,
-    and host reruns add 8 per depth); it can never silently drop a true
-    hit."""
-    # Low-occupancy shards skip bisection entirely: with mean bucket
-    # occupancy <= cand_cap/4 the bucket range IS (almost always) the
-    # equal range; oversize buckets trip count>K overflow -> escalation
-    # (which adds esc_steps of bisection) or the host rerun. Measured on
-    # TPU: the 16 bisection gathers were ~38% of the whole match step.
-    # (At occupancy ~3 — a 12 Mbp genome — the bucket window already
-    # overflows K for ~1.5% of reads, forcing a costly rerun pass, so
-    # the threshold is occupancy 2, not 4.)
-    if extra == 0 and num_windows <= (cand_cap << 20):
+    overflow -> host rerun (reruns add 8 steps per depth); it can never
+    silently drop a true hit."""
+    occ = num_windows / float(1 << bucket_bits)
+    if extra == 0 and occ <= 2.0 * max(cand_cap / 8.0, 1.0):
         return 0
-    # depth for 8x the mean occupancy: Poisson tails over 2^22 buckets
-    # stay within ~4x the mean, and an unconverged bucket only raises
-    # overflow -> escalation (never a silent miss), so the old 64x
-    # sizing paid 4 extra gathers per probe for nothing
-    avg = max(num_windows / float(1 << 22), 1.0)
-    occ = max(8.0 * avg, float(2 * cand_cap))
+    # depth for 8x the mean occupancy: Poisson tails stay within ~4x the
+    # mean, and an unconverged bucket only raises overflow -> rerun
+    # (never a silent miss)
+    occ = max(8.0 * max(occ, 1.0), float(2 * cand_cap))
     steps = int(np.ceil(np.log2(occ + 1)))
     return min(-(-steps // 4) * 4 + extra, 30)
 
@@ -323,9 +316,11 @@ def _foreach_shard_seq(cfg: RealConfig, texts: List[TextFile], cand_cap,
                 jax.block_until_ready(inflight.pop(0))
             with prog.phase("index_build"):
                 index = _build(cfg, text, start=s, num_windows=e - s)
-            steps = _bsearch_steps_static(e - s, cand_cap, extra_steps)
+            steps = _bsearch_steps_static(e - s, cand_cap,
+                                          index.bucket_bits, extra_steps)
             prog.event(f"file {fi}: index shard {si + 1}/{len(bounds)} "
-                       f"dispatched ({e - s} windows, bsearch={steps})")
+                       f"dispatched ({e - s} windows, bsearch={steps}, "
+                       f"bbits={index.bucket_bits})")
             with prog.phase("match"):
                 handle = visit(fi, text, index, steps)
             if handle is not None:
@@ -339,6 +334,7 @@ def _foreach_shard_mesh(cfg: RealConfig, texts: List[TextFile], cand_cap,
     once per pass and call visit(fi, text, mesh, (sig_hi, sig, pos, bb),
     bsearch_steps). Sync-free dispatch with a 2-pass in-flight bound,
     like _foreach_shard_seq."""
+    from real_tpu.index.build import pick_bucket_bits
     from real_tpu.index.hostbuild import _round16
     from real_tpu.parallel.mesh import build_sharded_index, make_mesh
 
@@ -365,16 +361,20 @@ def _foreach_shard_mesh(cfg: RealConfig, texts: List[TextFile], cand_cap,
                 continue
             while len(inflight) >= 2:
                 jax.block_until_ready(inflight.pop(0))
+            bbits = pick_bucket_bits(cfg.seedl, per_shard)
             with prog.phase("index_build"):
                 arrays = build_sharded_index(
-                    text.words, text.nbits, text.ncum, jnp.int32(text.n),
-                    start, seedl=cfg.seedl, per_shard=per_shard, mesh=mesh)
-            steps = _bsearch_steps_static(per_shard, cand_cap, extra_steps)
+                    text.words, text.nb16, text.ncum16, jnp.int32(text.n),
+                    start, seedl=cfg.seedl, per_shard=per_shard, mesh=mesh,
+                    order_sentinels=text.order_sentinels(cfg.seedl),
+                    bucket_bits=bbits)
+            steps = _bsearch_steps_static(per_shard, cand_cap, bbits,
+                                          extra_steps)
             prog.event(f"file {fi}: index pass {r + 1}/{rounds} dispatched "
                        f"({n_shard} shards x {per_shard} windows, "
-                       f"bsearch={steps})")
+                       f"bsearch={steps}, bbits={bbits})")
             with prog.phase("match"):
-                handle = visit(fi, text, mesh, arrays, steps)
+                handle = visit(fi, text, mesh, arrays, steps, bbits)
             if handle is not None:
                 inflight.append(handle)
 
@@ -396,11 +396,13 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
     scoring = Scoring(cfg.similarity, cfg.gc, cfg.trans, cfg.err,
                       cfg.gcmut_bias)
     tables = score_tables(scoring) if cfg.scores else None
-    # device-side x4 cap escalation absorbs the common overflow level
-    # in-step (matchstep.survivors_with_escalation); reads that still
-    # overflow rerun host-side below with x16 caps per recursion depth
+    # overflowing reads rerun host-side below with x16 caps per recursion
+    # depth. Device-side whole-batch escalation (esc_factor > 1) is OFF:
+    # chr21-scale profiling showed the lax.cond branch firing on nearly
+    # every batch for ~2 reads in 8192, re-verifying all 8192 at 4x caps
+    # (187 ms vs 30 ms per step) — the one-off host rerun is ~20x cheaper
     kw = _step_kwargs(cfg, cand_cap, survivor_cap, score_mode, tables,
-                      esc_factor=4)
+                      esc_factor=1)
     extra_steps = 8 * _depth
 
     result = MatchResult(
@@ -470,7 +472,7 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
     if use_mesh:
         from real_tpu.parallel.mesh import sharded_match_step
 
-        def visit(fi, text, mesh, arrays, steps):
+        def visit(fi, text, mesh, arrays, steps, bbits):
             done_reads[0] = 0
             sig_hi, sig, pos, bb = arrays
             for bi, b in enumerate(source):
@@ -516,7 +518,11 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
                if bi in overflows else jnp.zeros(plans[bi].rows, bool)
                for bi in range(len(plans))]
     allover = jnp.concatenate(allover) if allover else jnp.zeros(0, bool)
-    st, over = _fetch_tree((allst, allover))
+    with prog.phase("drain"):
+        # dispatch is sync-free, so queued device work from the whole
+        # match phase completes inside this fetch — "drain" is the real
+        # device-execution tail, "match" above only dispatch overhead
+        st, over = _fetch_tree((allst, allover))
     off = 0
     for bi, p in enumerate(plans):
         n = len(p.patids)
@@ -819,7 +825,7 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
     if use_mesh:
         from real_tpu.parallel.mesh import sharded_match_step
 
-        def visit(fi, text, mesh, arrays, steps):
+        def visit(fi, text, mesh, arrays, steps, bbits):
             done_reads[0] = 0
             sig_hi, sig, pos, bb = arrays
             seq = None
@@ -854,7 +860,8 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
 
         _foreach_shard_seq(cfg, texts, cand_cap, visit, prog, skip_units)
 
-    drain(0)
+    with prog.phase("drain"):
+        drain(0)
     prog.summary()
 
     over_ids = np.flatnonzero(overflow)

@@ -253,12 +253,18 @@ def find_survivors(
 
     # ---- phase 1: candidate ranges from the bucket table -------------------
     # (the reference's lookup table + equal_range, match.hpp:376-382)
+    # bucket width is self-describing: the table has 2^bits + 1 entries
+    # per list (a static shape), so no separate parameter can fall out of
+    # sync with the build that produced this index
+    bucket_bits = (index_bb.shape[0] // NUM_LISTS - 1).bit_length() - 1
     by_list = to_list_major(probe_sig)
     by_list_hi = to_list_major(probe_hi) if probe_hi is not None else None
     if sc.wide:
-        h = sc.bucket_key(by_list_hi, by_list).astype(jnp.int32)
+        h = sc.bucket_key_bits(by_list_hi, by_list,
+                               bucket_bits).astype(jnp.int32)
     else:
-        h = (by_list >> jnp.uint32(sc.bucket_shift)).astype(jnp.int32)
+        h = (by_list >> jnp.uint32(sc.bucket_shift_bits(bucket_bits))) \
+            .astype(jnp.int32)
     # flat 1-D gathers throughout: [6, n]-indexed take_along_axis lowers
     # to a batched gather that measured ~14 ns/element on TPU (60% of the
     # whole match step inside the bisection loop). The index arrays
@@ -268,6 +274,15 @@ def find_survivors(
     list_base_bb = (jnp.arange(NUM_LISTS, dtype=jnp.int32) * nbuck)[:, None]
     lo = jnp.take(index_bb, h + list_base_bb)
     hi = jnp.take(index_bb, h + 1 + list_base_bb)
+    # total real entries per list R_j = bb[j, nb]: invalid-window sentinel
+    # entries (sig 0xFFFFFFFF) sort after every real entry (the build
+    # orders them so), so clamping every range end to R_j excludes them
+    # exactly — without it an all-T probe (real sig == sentinel sig,
+    # possible only at seedl 32/64) would see millions of sentinel
+    # "candidates" and escalate forever
+    real_end = index_bb[nbuck - 1 + (jnp.arange(NUM_LISTS, dtype=jnp.int32)
+                                     * nbuck)][:, None]     # [6, 1]
+    hi = jnp.minimum(hi, real_end)
     sig_flat = index_sig
     sig_hi_flat = index_sig_hi if sc.wide else None
     list_base = (jnp.arange(NUM_LISTS, dtype=jnp.int32) * M)[:, None]
@@ -388,6 +403,19 @@ def find_survivors(
     matchoffset = jnp.where(s_inv, restlen, 0).astype(jnp.int32)
     s_pos = cand_rpos - matchoffset
     s_valid &= (cand_rpos != POS_SENTINEL) & (cand_rpos >= matchoffset)
+
+    # re-establish reference merge order on the compacted lanes: probe
+    # 0..11 major, ascending text position within a probe's equal range
+    # (match loop order, matchUniqueImplementation.cpp:416-488 + the
+    # stable radix sort's pos order). The index itself is NO longer
+    # required to be pos-stable within equal signatures (the phase-major
+    # device build isn't), so the order is imposed here — a tiny [B, S]
+    # two-key sort instead of a 100x-slower variadic sort of the [6, M]
+    # index lists
+    okey = jnp.where(s_valid, s_probe, jnp.int32(2 * NUM_LISTS))
+    _, s_pos, s_valid, s_inv = lax.sort(
+        (okey, s_pos, s_valid, s_inv),
+        num_keys=2, dimension=1, is_stable=True)
 
     # ---- phase 2: text verification on the compacted [B, S] ---------------
     posc = jnp.maximum(s_pos, 0)

@@ -10,29 +10,37 @@ seed error count from the verified text window itself. For seedl > 32 the
 signature is a (hi, lo) uint32 plane pair sorted lexicographically (the
 reference's u_int64_t path, real.cpp:217-221).
 
-Because window positions are consecutive, segment extraction needs NO
-gathers: the 16-base word at every position is computed with a 16-phase
-funnel-shift over the packed words (each phase is a strided slice), and the
-N-free test is a cumulative-sum prefix over the unpacked wildcard bitmap —
-all dense vector passes. Random-access gathers appear only at query time.
+PHASE-MAJOR extraction: window positions are processed in 16 phase blocks
+(phase p = positions congruent to p mod 16), so every segment extraction
+is a funnel shift over STATIC slices of the packed words — no gathers, no
+[M/16, 16] interleave (a narrow-minor-dim layout the TPU pads 8x and
+relayouts; the interleaved r3 build spent 2.45 s of its 4.8 s there at
+chr21 scale). The resulting per-list entry order is phase-blocked, NOT
+position order — which is fine because the matcher imposes reference
+merge order on the compacted survivor lanes itself (engine/matchstep.py:
+the (probe, pos) lane sort); within an equal signature run the index
+order is free.
+
+Sentinels: invalid windows (containing N / shard padding) get signature
+0xFFFFFFFF and position sentinel 0x7FFFFFFF. Everything downstream
+(bucket counts, the matcher's real-end clamp) relies on sentinels sorting
+AFTER every real entry. That is automatic except when a real pair
+signature can equal 0xFFFFFFFF — an all-T segment pair at seedl 32/64 —
+in which case one extra stable pre-sort pass on the sentinel flag orders
+them correctly (PackedText.order_sentinels, detected at pack time; a
+plain single-key sort would interleave real all-T entries with sentinels
+and silently truncate their bucket range).
 
 A per-list bucket table over the top `bucket_bits` signature bits
-(getLookupTable.hpp:26-51, getSampleBits.hpp: 22 sample bits) turns the
-probe's equal-range search into one gather: bucket_begin[h] is the first
-list slot of bucket h, and an equal range never crosses a bucket (equal
-signatures share all bits), so candidates are read from bucket_begin[h]
-and filtered by stored-signature equality; `count > K` flags escalation.
-
-Invalid windows (containing N / block padding) get signature 0xFFFFFFFF and
-position sentinel 0x7FFFFFFF so they sort to the tail of each list, are
-excluded from bucket counts, and are rejected by the position mask in the
-matcher.
+(getLookupTable.hpp:26-51; the reference uses 22 sample bits) turns the
+probe's equal-range search into one gather pair. bucket_bits scales with
+the shard's window count (occupancy ~1) so big genomes keep ~empty
+buckets and the matcher can skip in-bucket bisection entirely.
 """
 
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional
 
 import jax
@@ -58,98 +66,138 @@ class SignatureIndex:
     pos: jnp.ndarray    # int32  [6*M] window position (sentinel if invalid)
     bb: jnp.ndarray     # int32  [6*(2^bucket_bits+1)] flat bucket begins
     seedl: int
+    bucket_bits: int
     # high uint32 plane of 64-bit signatures (seedl > 32, the reference's
     # u_int64_t dispatch real.cpp:217-221); None for seedl <= 32
     sig_hi: Optional[jnp.ndarray] = None
 
 
-def _ext16_all(words: jnp.ndarray, word_lo, n_ext: int) -> jnp.ndarray:
-    """16-base words at EVERY base position [16*word_lo, 16*word_lo+n_ext)
-    without gathers: 16 funnel-shift phases over static slices."""
-    nw = -(-n_ext // 16) + 1
-    # pad so the slice never clamps (dynamic_slice shifts the window on
-    # out-of-bounds starts, which would corrupt the tail shard)
-    words = jnp.concatenate([words, jnp.zeros(nw, words.dtype)])
-    w = lax.dynamic_slice(words, (word_lo,), (nw,))
-    w0 = w[:-1]
-    w1 = w[1:]
-    phases = []
+def pick_bucket_bits(seedl: int, num_windows: int) -> int:
+    """Bucket-table width for a shard: enough bits that mean occupancy is
+    ~1 (so the bucket range IS the equal range for almost every probe and
+    the matcher needs no in-bucket bisection), capped at 25 (the 6 tables
+    then cost 6*(2^25+1)*4 B = 805 MB HBM — accounted by parallel/plan)
+    and at the signature width. The reference's fixed 22 sample bits
+    (getSampleBits.hpp:22-25) left chr21-scale buckets 11-deep."""
+    bits = max(num_windows - 1, 1).bit_length()
+    return max(12, min(bits, 25, seedl))
+
+
+def _phase_words(words: jnp.ndarray, word_lo, nk: int, extra: int):
+    """pw[p][k] = 16-base word at base position 16*(word_lo + k) + p, for
+    k in [0, nk + extra). Pure static slices + funnel shifts."""
+    L = nk + extra
+    words = jnp.concatenate([words, jnp.zeros(L + 2, words.dtype)])
+    w = lax.dynamic_slice(words, (word_lo,), (L + 1,))
+    w0, w1 = w[:-1], w[1:]
+    pw = []
     for p in range(16):
         sh = jnp.uint32(2 * p)
         hi = w0 << sh
         lo = (w1 >> (jnp.uint32(31) - sh)) >> 1
-        phases.append(hi | lo)
-    # phases[p][k] = word at base position 16k + p  ->  interleave
-    return jnp.stack(phases, axis=1).reshape(-1)[:n_ext]
+        pw.append(hi | lo)
+    return pw
 
 
-def _n_prefix(nbits: jnp.ndarray, word_lo, n_ext: int) -> jnp.ndarray:
-    """#wildcards in [16*word_lo, 16*word_lo + i) for i in 0..n_ext —
-    dense unpack + cumsum replacing per-window rank gathers."""
-    # nbits packs 32 bases per word; align to the 16-base word grid
-    nw32 = -(-(n_ext + 16) // 32) + 1
-    nbits = jnp.concatenate([nbits, jnp.zeros(nw32, nbits.dtype)])
-    w = lax.dynamic_slice(nbits, (word_lo // 2,), (nw32,))
-    shifts = jnp.arange(31, -1, -1, dtype=jnp.uint32)
-    bits = ((w[:, None] >> shifts[None, :]) & 1).astype(jnp.int32) \
-        .reshape(-1)
-    off = (word_lo % 2) * 16            # traced: dynamic_slice, not []
-    bits = lax.dynamic_slice(bits, (off,), (n_ext,))
-    return jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(bits, dtype=jnp.int32)])
-
-
-def build_lists_impl(words: jnp.ndarray, nbits: jnp.ndarray,
-                     ncum: jnp.ndarray,
+def build_lists_impl(words: jnp.ndarray, nb16: jnp.ndarray,
+                     ncum16: jnp.ndarray,
                      start: jnp.ndarray, num_windows: int, seedl: int,
-                     n: jnp.ndarray):
-    """Build sorted lists + bucket tables for windows
-    [start, start+num_windows). `start` must be a multiple of 16."""
+                     n: jnp.ndarray, *, order_sentinels: bool = False,
+                     bucket_bits: int = 0):
+    """Build sorted lists + bucket tables covering windows
+    [start, start + 16*ceil(num_windows/16)). `start` must be a multiple
+    of 16. Positions past min(start + num_windows, n - seedl) - 1 become
+    sentinels. Returns (sig_hi | None, sig, pos, bb) FLAT arrays with
+    M = 16*ceil(num_windows/16) entries per list."""
     sc = SigConfig(seedl)
+    bucket_bits = bucket_bits or pick_bucket_bits(seedl, num_windows)
     word_lo = start.astype(jnp.int32) >> 4
-    n_ext = num_windows + seedl          # cover the last window's segments
-    ext = _ext16_all(words, word_lo, n_ext)
+    C = -(-num_windows // 16)            # k-extent per phase
+    # extra words beyond C: max segment start offset 3*(seedl//4) <= 48
+    # plus the validity group offset (seedl//16 + 1) and funnel spill
+    extra = (15 + 3 * (seedl // 4)) // 16 + seedl // 16 + 3
+    pw = _phase_words(words, word_lo, C, extra)
 
-    segs = []
-    for off, w in zip(sc.seg_offsets, sc.syms):
-        segs.append(ext[off:off + num_windows] >> jnp.uint32(2 * (16 - w)))
+    # wildcard counts at 16-base granularity, phase-sliced
+    GL = C + seedl // 16 + 3
+    nb16p = jnp.concatenate([nb16, jnp.zeros(GL + 2, nb16.dtype)])
+    nb16s = lax.dynamic_slice(nb16p, (word_lo,), (GL,))
+    ncum16p = jnp.concatenate([ncum16, jnp.full(GL + 2, ncum16[-1],
+                                                ncum16.dtype)])
+    ncum16s = lax.dynamic_slice(ncum16p, (word_lo,), (GL,))
 
-    pos = start + jnp.arange(num_windows, dtype=jnp.int32)
-    in_range = pos <= (n - seedl)
-    npre = _n_prefix(nbits, word_lo, n_ext)
-    valid = in_range & ((npre[seedl:seedl + num_windows]
-                         - npre[:num_windows]) == 0)
-    spos = jnp.where(valid, pos, POS_SENTINEL)
-    poss = jnp.broadcast_to(spos, (NUM_LISTS, num_windows))
+    def nfree_phase(p: int) -> jnp.ndarray:
+        """valid[k] = window at pos start+16k+p has no N in [pos, pos+seedl)."""
+        def npre(off_base: int):
+            d, p2 = divmod(p + off_base, 16)
+            g = nb16s[d:d + C]
+            cum = ncum16s[d:d + C]
+            if p2 == 0:
+                return cum
+            return cum + lax.population_count(
+                g >> jnp.uint32(16 - p2)).astype(jnp.int32)
+        return (npre(seedl) - npre(0)) == 0
 
-    # one batched SINGLE-KEY STABLE sort over all six lists ([6, M] rows).
-    # The position payload is already ascending within each row, so a
-    # stable sort on the signature alone IS the (sig, pos) lexicographic
-    # order the reference's stable radix sort produces — and XLA's TPU
-    # single-key sort path measured ~100x faster than the variadic
-    # num_keys=2 comparator sort (0.005s vs 0.5s at [6, 4.6M]).
-    nb = 1 << sc.bucket_bits
+    def seg_phase(p: int, off: int, width: int) -> jnp.ndarray:
+        # segment at base position 16k + p + off = 16(k+d) + p2
+        d, p2 = divmod(p + off, 16)
+        return pw[p2][d:d + C] >> jnp.uint32(2 * (16 - width))
+
+    # per-phase signatures and validity, concatenated phase-blocked
+    sig_rows = [[] for _ in range(NUM_LISTS)]       # narrow or lo plane
+    hi_rows = [[] for _ in range(NUM_LISTS)] if sc.wide else None
+    pos_rows = []
+    for p in range(16):
+        segs = [seg_phase(p, off, w)
+                for off, w in zip(sc.seg_offsets, sc.syms)]
+        pos_p = (start + jnp.arange(C, dtype=jnp.int32) * 16 + p)
+        valid = (pos_p <= (n - seedl)) \
+            & (pos_p < start + num_windows) & nfree_phase(p)
+        pos_rows.append(jnp.where(valid, pos_p, POS_SENTINEL))
+        if sc.wide:
+            pairs = sc.compose_pairs_wide(segs)
+            for j in range(NUM_LISTS):
+                hi_rows[j].append(jnp.where(valid, pairs[j][0],
+                                            SIG_SENTINEL))
+                sig_rows[j].append(jnp.where(valid, pairs[j][1],
+                                             SIG_SENTINEL))
+        else:
+            sigs = sc.compose_pairs(segs)
+            for j in range(NUM_LISTS):
+                sig_rows[j].append(jnp.where(valid, sigs[j], SIG_SENTINEL))
+
+    poss1 = jnp.concatenate(pos_rows)                      # [16C]
+    poss = jnp.broadcast_to(poss1, (NUM_LISTS, 16 * C))
+    keys = jnp.stack([jnp.concatenate(r) for r in sig_rows])
+    keys_hi = jnp.stack([jnp.concatenate(r) for r in hi_rows]) \
+        if sc.wide else None
+
+    # single-key stable sorts: XLA's TPU single-key path measured ~100x
+    # faster than the variadic comparator sort. Entry order within an
+    # equal signature is free (the matcher re-orders compacted lanes),
+    # EXCEPT sentinels must come last — guaranteed value-wise unless a
+    # real all-T pair exists (order_sentinels: one extra stable pass on
+    # the sentinel flag = the LSD minor digit).
+    if order_sentinels:
+        flag = (poss == POS_SENTINEL).astype(jnp.uint32)
+        if sc.wide:
+            _, keys, keys_hi, poss = lax.sort(
+                (flag, keys, keys_hi, poss), num_keys=1, dimension=1,
+                is_stable=True)
+        else:
+            _, keys, poss = lax.sort((flag, keys, poss), num_keys=1,
+                                     dimension=1, is_stable=True)
     if sc.wide:
-        pairs = sc.compose_pairs_wide(segs)      # list of ([M], [M]) planes
-        keys_hi = jnp.stack([jnp.where(valid, pairs[j][0], SIG_SENTINEL)
-                             for j in range(NUM_LISTS)])
-        keys_lo = jnp.stack([jnp.where(valid, pairs[j][1], SIG_SENTINEL)
-                             for j in range(NUM_LISTS)])
-        # (hi, lo) lex order via two chained stable single-key sorts
-        # (LSD: sort by lo, then stably by hi)
-        slo, khi, sp = lax.sort((keys_lo, keys_hi, poss), num_keys=1,
+        slo, khi, sp = lax.sort((keys, keys_hi, poss), num_keys=1,
                                 dimension=1, is_stable=True)
         shi, skey, sp = lax.sort((khi, slo, sp), num_keys=1,
                                  dimension=1, is_stable=True)
-        h = sc.bucket_key(shi, skey).astype(jnp.int32)
+        h = sc.bucket_key_bits(shi, skey, bucket_bits).astype(jnp.int32)
     else:
-        sigs = sc.compose_pairs(segs)            # list of [M] uint32
-        keys = jnp.stack([jnp.where(valid, sigs[j], SIG_SENTINEL)
-                          for j in range(NUM_LISTS)])
         skey, sp = lax.sort((keys, poss), num_keys=1, dimension=1,
                             is_stable=True)
         shi = None
-        h = (skey >> jnp.uint32(sc.bucket_shift)).astype(jnp.int32)
+        h = (skey >> jnp.uint32(sc.seedl - bucket_bits)).astype(jnp.int32)
 
     # bucket-begin tables (getLookupTable.hpp:26-51): one histogram over
     # the top bucket_bits of each list, sentinels excluded, exclusive
@@ -157,6 +205,7 @@ def build_lists_impl(words: jnp.ndarray, nbits: jnp.ndarray,
     # sentinel hi plane (0xFFFFFFFF) exceeds the legal plane range so
     # bucket_key can wrap negative, which would break the sorted-indices
     # contract below (their weight is 0 either way).
+    nb = 1 << bucket_bits
     h = jnp.where(sp != POS_SENTINEL, h, jnp.int32(nb - 1))
     h = h + (jnp.arange(NUM_LISTS, dtype=jnp.int32) * nb)[:, None]
     w8 = (sp != POS_SENTINEL).astype(jnp.int32)
@@ -177,7 +226,8 @@ def build_lists_impl(words: jnp.ndarray, nbits: jnp.ndarray,
 
 
 _build_lists = jax.jit(build_lists_impl,
-                       static_argnames=("seedl", "num_windows"))
+                       static_argnames=("seedl", "num_windows",
+                                        "order_sentinels", "bucket_bits"))
 
 
 def shard_windows(num_windows: int, num_shards: int) -> int:
@@ -200,8 +250,11 @@ def build_index(text: PackedText, seedl: int,
     if num_windows is None:
         num_windows = total - start
     assert start % 16 == 0, "shard starts must be 16-aligned"
+    bucket_bits = pick_bucket_bits(seedl, int(num_windows))
     sig_hi, sig, pos, bb = _build_lists(
-        text.words, text.nbits, text.ncum,
-        jnp.int32(start), int(num_windows), seedl, jnp.int32(text.n))
+        text.words, text.nb16, text.ncum16,
+        jnp.int32(start), int(num_windows), seedl, jnp.int32(text.n),
+        order_sentinels=text.order_sentinels(seedl),
+        bucket_bits=bucket_bits)
     return SignatureIndex(sig=sig, pos=pos, bb=bb, seedl=seedl,
-                          sig_hi=sig_hi)
+                          bucket_bits=bucket_bits, sig_hi=sig_hi)

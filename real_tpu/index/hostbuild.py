@@ -1,11 +1,10 @@
 """Host-side (NumPy) index construction.
 
 Same output as index.build (six sorted (sig, pos) lists) computed with
-vectorized NumPy and one uint64 composite-key argsort per list. Used for
-single-host runs: device HBM then only holds the finished sorted lists, and
-cold-start avoids a large one-time XLA compile of the build program (the
-sorted index is a pure data artifact — where it was sorted cannot change
-results, and tests assert host == device build).
+vectorized NumPy. Mirrors the device build EXACTLY — phase-blocked entry
+order, 16-rounded list length, per-shard bucket width, and the sentinel
+ordering pass — so tests can assert host == device array equality and a
+checkpoint taken against one build resumes against the other.
 
 The reference's equivalent is MapTextFile::readLists + OpenMP radix sort
 (MapTextFile.hpp:181-230, ParallelRadixSort.hpp).
@@ -47,66 +46,81 @@ def _round16(x: int) -> int:
     return -(-x // 16) * 16
 
 
+def _phase_blocked(a: np.ndarray, C: int) -> np.ndarray:
+    """Reorder a [16*C] window-position-ordered array into the device
+    build's phase-blocked order: entry p*C + k holds window 16k + p."""
+    return a.reshape(C, 16).T.reshape(-1)
+
+
 def build_lists_host(words: np.ndarray, nbits: np.ndarray, ncum: np.ndarray,
                      n: int, seedl: int, start: int = 0,
-                     num_windows: int | None = None):
-    """Returns (sig, pos, bb) arrays: [6, M] lists + [6, NB+1]
-    bucket-begin tables (getLookupTable.hpp:26-51)."""
+                     num_windows: int | None = None,
+                     order_sentinels: bool = False,
+                     bucket_bits: int = 0):
+    """Returns (sig_hi | None, sig, pos, bb) arrays: [6, M] lists
+    (M = 16*ceil(num_windows/16), phase-blocked pre-sort order) +
+    [6, NB+1] bucket-begin tables (getLookupTable.hpp:26-51)."""
+    from real_tpu.index.build import pick_bucket_bits
     sc = SigConfig(seedl)
     sc.validate()
     total = max(n - seedl + 1, 0)
     if num_windows is None:
         num_windows = total - start
-    pos = start + np.arange(num_windows, dtype=np.int64)
+    bucket_bits = bucket_bits or pick_bucket_bits(seedl, int(num_windows))
+    C = -(-num_windows // 16)
+    M = 16 * C
+    pos = start + np.arange(M, dtype=np.int64)
 
     segs = []
     for off, w in zip(sc.seg_offsets, sc.syms):
-        v = _extract_bases16_np(words, pos + off)
+        v = _extract_bases16_np(words, np.minimum(pos + off,
+                                                  16 * len(words) - 17))
         segs.append((v >> np.uint32(2 * (16 - w))).astype(np.uint32))
 
-    valid = pos <= (n - seedl)
-    valid &= (_n_rank_excl_np(nbits, ncum, pos + seedl)
-              - _n_rank_excl_np(nbits, ncum, pos)) == 0
-    pos32 = np.where(valid, pos, POS_SENTINEL).astype(np.int32)
+    valid = (pos <= (n - seedl)) & (pos < start + num_windows)
+    valid &= (_n_rank_excl_np(nbits, ncum, np.minimum(pos + seedl, n))
+              - _n_rank_excl_np(nbits, ncum, np.minimum(pos, n))) == 0
+    pos32 = _phase_blocked(
+        np.where(valid, pos, POS_SENTINEL).astype(np.int32), C)
+    flag = pos32 == POS_SENTINEL
 
-    hi_out = np.empty((NUM_LISTS, num_windows), np.uint32) if sc.wide \
-        else None
-    sig_out = np.empty((NUM_LISTS, num_windows), np.uint32)
-    pos_out = np.empty((NUM_LISTS, num_windows), np.int32)
+    hi_out = np.empty((NUM_LISTS, M), np.uint32) if sc.wide else None
+    sig_out = np.empty((NUM_LISTS, M), np.uint32)
+    pos_out = np.empty((NUM_LISTS, M), np.int32)
     if sc.wide:
         pairs = sc.compose_pairs_wide(segs)
         for j in range(NUM_LISTS):
-            key_hi = np.where(valid, pairs[j][0], SIG_SENTINEL)
-            key_lo = np.where(valid, pairs[j][1], SIG_SENTINEL)
-            # lexsort: last key is primary -> (hi, lo, pos) ascending,
-            # stable ascending position within equal signatures
-            order = np.lexsort((pos32, key_lo, key_hi))
+            key_hi = _phase_blocked(
+                np.where(valid, pairs[j][0], SIG_SENTINEL), C)
+            key_lo = _phase_blocked(
+                np.where(valid, pairs[j][1], SIG_SENTINEL), C)
+            # device order: (hi, lo[, flag]) major->minor, then
+            # phase-blocked input order (all sorts stable)
+            ks = (flag, key_lo, key_hi) if order_sentinels \
+                else (key_lo, key_hi)
+            order = np.lexsort(ks)
             hi_out[j] = key_hi[order]
             sig_out[j] = key_lo[order]
             pos_out[j] = pos32[order]
     else:
         sigs = sc.compose_pairs(segs)
         for j in range(NUM_LISTS):
-            key = np.where(valid, sigs[j], SIG_SENTINEL)
-            # composite key (sig << 31 | pos) -> one u64 argsort per list,
-            # stable ascending position within equal signatures like the
-            # reference's stable radix sort (ParallelRadixSort.hpp)
-            composite = (key.astype(np.uint64) << np.uint64(31)) \
-                | pos32.astype(np.uint64)
-            order = np.argsort(composite, kind="stable")
+            key = _phase_blocked(np.where(valid, sigs[j], SIG_SENTINEL), C)
+            ks = (flag, key) if order_sentinels else (key,)
+            order = np.lexsort(ks)
             sig_out[j] = key[order]
             pos_out[j] = pos32[order]
 
-    nb = 1 << sc.bucket_bits
+    nb = 1 << bucket_bits
     bb = np.zeros((NUM_LISTS, nb + 1), np.int32)
+    sh = sc.bucket_shift_bits(bucket_bits)
     for j in range(NUM_LISTS):
         live = pos_out[j] != POS_SENTINEL
         if sc.wide:
-            h = sc.bucket_key(hi_out[j][live], sig_out[j][live]) \
-                .astype(np.int64)
+            h = sc.bucket_key_bits(hi_out[j][live], sig_out[j][live],
+                                   bucket_bits).astype(np.int64)
         else:
-            h = (sig_out[j][live] >> np.uint32(sc.bucket_shift)) \
-                .astype(np.int64)
+            h = (sig_out[j][live] >> np.uint32(sh)).astype(np.int64)
         bb[j, 1:] = np.cumsum(np.bincount(h, minlength=nb)).astype(np.int32)
     return hi_out, sig_out, pos_out, bb
 
@@ -116,17 +130,22 @@ def build_index_host(text, seedl: int, start: int = 0,
     """Host-built SignatureIndex with device-resident arrays."""
     import jax.numpy as jnp
 
-    from real_tpu.index.build import SignatureIndex
+    from real_tpu.index.build import SignatureIndex, pick_bucket_bits
 
     words = np.asarray(text.words)
     nbits = np.asarray(text.nbits)
     ncum = np.asarray(text.ncum)
-    sig_hi, sig, pos, bb = build_lists_host(words, nbits, ncum, text.n,
-                                            seedl, start, num_windows)
+    total = max(text.n - seedl + 1, 0)
+    nw = int(num_windows if num_windows is not None else total - start)
+    bucket_bits = pick_bucket_bits(seedl, nw)
+    sig_hi, sig, pos, bb = build_lists_host(
+        words, nbits, ncum, text.n, seedl, start, nw,
+        order_sentinels=text.order_sentinels(seedl),
+        bucket_bits=bucket_bits)
     # flat [6*M] layout, matching the device build (see index/build.py)
     return SignatureIndex(sig=jnp.asarray(sig.reshape(-1)),
                           pos=jnp.asarray(pos.reshape(-1)),
                           bb=jnp.asarray(bb.reshape(-1)),
-                          seedl=seedl,
+                          seedl=seedl, bucket_bits=bucket_bits,
                           sig_hi=None if sig_hi is None
                           else jnp.asarray(sig_hi.reshape(-1)))

@@ -65,14 +65,30 @@ class SigConfig:
 
     @property
     def bucket_bits(self) -> int:
-        """Bucket-table width: the top min(22, pair_bits) signature bits
-        (getSampleBits.hpp:22-25 uses 22). seedl is a multiple of 4, so all
-        six pairs have the same width 2*(seedl/2) = seedl bits."""
+        """Default bucket-table width (the reference's 22 sample bits,
+        getSampleBits.hpp:22-25). The build normally OVERRIDES this per
+        shard (index.build.pick_bucket_bits) so occupancy stays ~1;
+        every consumer must use the width recorded on the built index.
+        seedl is a multiple of 4, so all six pairs have the same width
+        2*(seedl/2) = seedl bits."""
         return min(22, self.seedl)
 
     @property
     def bucket_shift(self) -> int:
         return self.seedl - self.bucket_bits
+
+    def bucket_shift_bits(self, bits: int) -> int:
+        return self.seedl - min(bits, self.seedl)
+
+    def bucket_key_bits(self, hi, lo, bits: int):
+        """Top `bits` bits of a wide (hi, lo) signature:
+        full >> (seedl - bits), assembled from the two planes."""
+        sh = self.bucket_shift_bits(bits)
+        if sh >= 32:
+            return hi >> np.uint32(sh - 32)
+        if sh == 0:
+            return lo
+        return (hi << np.uint32(32 - sh)) | (lo >> np.uint32(sh))
 
     def compose_pairs(self, m: Sequence) -> List:
         """s0..s5 from segments m0..m3 (works for np or jnp uint32 arrays).

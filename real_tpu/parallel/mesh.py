@@ -49,10 +49,12 @@ def make_mesh(n_dp: int, n_shard: int, devices=None) -> Mesh:
 
 @functools.partial(jax.jit,
                    static_argnames=("seedl", "num_windows", "per_shard",
-                                    "mesh"))
-def build_sharded_index(words, nbits, ncum, n, start=0, *, seedl: int,
+                                    "mesh", "order_sentinels",
+                                    "bucket_bits"))
+def build_sharded_index(words, nb16, ncum16, n, start=0, *, seedl: int,
                         num_windows: int = 0, per_shard: int = 0,
-                        mesh: Mesh):
+                        mesh: Mesh, order_sentinels: bool = False,
+                        bucket_bits: int = 0):
     """Build [n_shard, 6, M_s] index arrays, shard s covering windows
     [start + s*M_s, start + (s+1)*M_s). Each device sorts only its own
     shard's lists. Pass either per_shard directly (multi-pass driver:
@@ -65,12 +67,13 @@ def build_sharded_index(words, nbits, ncum, n, start=0, *, seedl: int,
     per = per_shard or _round16(-(-num_windows // n_shard))
     wide = SigConfig(seedl).wide
 
-    def local_build(words, nbits, ncum, n, start):
+    def local_build(words, nb16, ncum16, n, start):
         from real_tpu.index.build import build_lists_impl
         s = lax.axis_index("shard")
         shi, sig, pos, bb = build_lists_impl(
-            words, nbits, ncum, start + (s * per).astype(jnp.int32), per,
-            seedl, n)
+            words, nb16, ncum16, start + (s * per).astype(jnp.int32), per,
+            seedl, n, order_sentinels=order_sentinels,
+            bucket_bits=bucket_bits)
         if wide:
             return shi[None], sig[None], pos[None], bb[None]
         return sig[None], pos[None], bb[None]
@@ -79,7 +82,7 @@ def build_sharded_index(words, nbits, ncum, n, start=0, *, seedl: int,
         local_build, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P()),
         out_specs=P("shard"))
-    out = fn(words, nbits, ncum, n, jnp.int32(start))
+    out = fn(words, nb16, ncum16, n, jnp.int32(start))
     if wide:
         return out            # (sig_hi, sig, pos, bb)
     return (None,) + tuple(out)
@@ -89,7 +92,8 @@ def build_sharded_index(words, nbits, ncum, n, start=0, *, seedl: int,
     jax.jit,
     static_argnames=("tables", "seedl", "seedkmax", "totalkmax", "cand_cap",
                      "survivor_cap", "scores", "score_mode", "mesh",
-                     "bsearch_steps", "matchall", "esc_factor", "esc_steps"))
+                     "bsearch_steps", "matchall", "esc_factor",
+                     "esc_steps"))
 def sharded_match_step(index_sig, index_pos, index_bb,
                        words, nbits, ncum, frag_offsets,     # replicated
                        codes, quals, read_valid,             # [B,...] dp

@@ -10,8 +10,9 @@ reference's "build block, re-stream all reads" outer loop,
 
 Index cost model per window (index/build.py SignatureIndex):
   sig + pos = 8 bytes x 6 lists = 48 B, plus a transient build factor
-  for lax.sort's out-of-place temporaries; bucket tables are a fixed
-  6 x (2^22+1) x 4 B ~ 100 MB.
+  for lax.sort's out-of-place temporaries; bucket tables scale with the
+  per-shard width (pick_bucket_bits, occupancy ~1) and are budgeted at
+  the 2^25 cap: 6 x (2^25+1) x 4 B ~ 805 MB.
 """
 
 from __future__ import annotations
@@ -23,7 +24,7 @@ import jax
 
 BYTES_PER_WINDOW = 6 * 8
 BUILD_FACTOR = 3.0        # sort temporaries + double-buffered lists
-BUCKET_TABLE_BYTES = 6 * ((1 << 22) + 1) * 4
+BUCKET_TABLE_BYTES = 6 * ((1 << 25) + 1) * 4
 _DEFAULT_HBM = 16 * 1024**3   # v5e per-chip HBM; fallback when unprobeable
 
 

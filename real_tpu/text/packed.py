@@ -30,10 +30,27 @@ class PackedText:
     frag_offsets: jnp.ndarray # int32 [F+1], fragment starts + terminal n
     n: int                    # number of bases
     ranges: List[Tuple[str, int]]  # host copy incl. ("terminal", n)
+    # 16-base-granularity wildcard structures for the PHASE-MAJOR index
+    # build (index/build.py): nb16[g] holds the 16 N-bits of bases
+    # [16g, 16g+16) in its low half, ncum16[g] = #N in [0, 16g). The
+    # 32-bit nbits/ncum pair stays for query-time rank (16-word phase
+    # slices would need parity-alternating 32-bit word indices, i.e.
+    # gathers; 16-base granularity makes them static slices).
+    nb16: jnp.ndarray = None        # uint32 [G+4]
+    ncum16: jnp.ndarray = None      # int32 [G+5]
+    # True when some window's pair signature can equal the 0xFFFFFFFF
+    # sentinel (an all-T segment pair at seedl 32 / 64) — the build then
+    # adds a stable pre-sort pass ordering sentinels last (index/build.py)
+    allt32: bool = False
+    allt64: bool = False
 
     @property
     def num_fragments(self) -> int:
         return len(self.ranges) - 1
+
+    def order_sentinels(self, seedl: int) -> bool:
+        return self.allt32 if seedl == 32 else (
+            self.allt64 if seedl == 64 else False)
 
 
 def build_packed_text(codes: np.ndarray,
@@ -47,6 +64,13 @@ def build_packed_text(codes: np.ndarray,
     words = bitpack.pack_2bit(codes, pad_words=2)
     nbits = bitpack.pack_bitmap(codes > 3, pad_words=2)
     ncum = bitpack.bitmap_cum_popcount(nbits)
+    # 16-bit N-groups: split each 32-bit word into (hi, lo) halves
+    nw = len(nbits)
+    nb16 = np.empty(2 * nw, dtype=np.uint32)
+    nb16[0::2] = nbits >> np.uint32(16)
+    nb16[1::2] = nbits & np.uint32(0xFFFF)
+    ncum16 = np.zeros(2 * nw + 1, dtype=np.int64)
+    ncum16[1:] = np.cumsum(np.bitwise_count(nb16))
     frag_offsets = np.array([off for _, off in ranges], dtype=np.int32)
     return PackedText(
         words=jnp.asarray(words),
@@ -55,7 +79,48 @@ def build_packed_text(codes: np.ndarray,
         frag_offsets=jnp.asarray(frag_offsets),
         n=n,
         ranges=list(ranges),
+        nb16=jnp.asarray(nb16),
+        ncum16=jnp.asarray(ncum16.astype(np.int32)),
+        allt32=_has_all_t_pair(codes, 32),
+        allt64=_has_all_t_pair(codes, 64),
     )
+
+
+def _run_all(x: np.ndarray, w: int) -> np.ndarray:
+    """r[i] = x[i] & x[i+1] & ... & x[i+w-1] by dyadic folding (w a power
+    of two); len(r) = len(x) - w + 1."""
+    step = 1
+    while step < w:
+        x = x[:-step] & x[step:]
+        step *= 2
+    return x
+
+
+def _has_all_t_pair(codes: np.ndarray, seedl: int) -> bool:
+    """True when some window's pair signature equals the 0xFFFFFFFF
+    sentinel — i.e. a genuine all-T segment pair exists. Only a
+    full-width pair reaches the sentinel: seedl == 32 (narrow) or
+    seedl == 64 (wide); every other seedl's signatures are narrower than
+    32/64 bits, so the sentinel sorts strictly last for free. When True,
+    the device build adds a stable pre-sort pass ordering real entries
+    before sentinels within the shared key (bucket tables and the
+    matcher's real-end range clamp rely on sentinels being last)."""
+    w = seedl // 4
+    x = codes == 3
+    if len(x) < seedl:
+        return False
+    seg_t = _run_all(x, w)                 # seg_t[i]: codes[i:i+w] all T
+    if not seg_t.any():
+        return False
+    from real_tpu.index.signatures import PAIR_SEGMENTS, SigConfig
+    offs = SigConfig(seedl).seg_offsets
+    nwin = len(codes) - seedl + 1
+    for a, b in PAIR_SEGMENTS:
+        sa = seg_t[offs[a]:offs[a] + nwin]
+        sb = seg_t[offs[b]:offs[b] + nwin]
+        if bool(np.any(sa & sb)):
+            return True
+    return False
 
 
 # ---------------------------------------------------------------------------
