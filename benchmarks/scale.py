@@ -136,16 +136,23 @@ def run_ours(name, c, d, g, r):
     ours = os.path.join(d, "ours.out")
     t0 = time.perf_counter()
     rs = parse_reads_cached(r, 0)
+    t1 = time.perf_counter()
     texts = driver.load_texts(cfg)
+    t2 = time.perf_counter()
     with open(ours, "w") as f:
         if c["unique"]:
             result = driver.run_match_unique(cfg, rs, texts)
+            t3 = time.perf_counter()
             write_unique(f, rs, result, texts, c["scores"])
         else:
             cols = driver.run_match_all(cfg, rs, texts, as_arrays=True)
+            t3 = time.perf_counter()
             write_all_arrays(f, rs, cols, texts, c["scores"])
-    dt = time.perf_counter() - t0
-    return dt, ours
+    t4 = time.perf_counter()
+    print(f"[{name}] e2e phases: parse_reads={t1-t0:.2f}s "
+          f"parse_pack_text={t2-t1:.2f}s match={t3-t2:.2f}s "
+          f"output={t4-t3:.2f}s", file=sys.stderr)
+    return t4 - t0, ours
 
 
 def compare(c, ours, refout):

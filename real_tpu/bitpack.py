@@ -19,16 +19,19 @@ def pack_2bit(codes: np.ndarray, pad_words: int = 2) -> np.ndarray:
     """Pack base codes (0..3; values >3 are packed as code&3, like the
     reference which packs N's low bits and tracks them in a separate wildcard
     bitmap, AutoTextArray.hpp:27-43) into uint32 words, 16 bases per word,
-    MSB-first. Returns shape [ceil(n/16) + pad_words] (zero padded)."""
-    codes = np.asarray(codes, dtype=np.uint32) & 3
+    MSB-first. Returns shape [ceil(n/16) + pad_words] (zero padded).
+
+    Dyadic uint8 folding + a big-endian u32 view: ~20x faster than the
+    [nw, 16] broadcast-shift reduction (5.7 s -> ~0.3 s at 46.7 Mbp),
+    which materialized a 16-wide uint32 temp per word."""
+    codes = np.asarray(codes, dtype=np.uint8)
     n = codes.shape[0]
     nw = (n + BASES_PER_WORD - 1) // BASES_PER_WORD
-    padded = np.zeros(nw * BASES_PER_WORD, dtype=np.uint32)
-    padded[:n] = codes
-    shifts = (2 * (BASES_PER_WORD - 1 - np.arange(BASES_PER_WORD,
-                                                  dtype=np.uint32)))
-    words = (padded.reshape(nw, BASES_PER_WORD) << shifts).sum(
-        axis=1, dtype=np.uint32)
+    padded = np.zeros(nw * BASES_PER_WORD, dtype=np.uint8)
+    np.bitwise_and(codes, 3, out=padded[:n])
+    s1 = (padded[0::2] << np.uint8(2)) | padded[1::2]
+    s2 = (s1[0::2] << np.uint8(4)) | s1[1::2]      # one byte = 4 bases
+    words = np.ascontiguousarray(s2).view(">u4").astype(np.uint32)
     if pad_words:
         words = np.concatenate([words, np.zeros(pad_words, dtype=np.uint32)])
     return words

@@ -285,7 +285,8 @@ class _Progress:
 
 def _foreach_shard_seq(cfg: RealConfig, texts: List[TextFile], cand_cap,
                        visit, prog: Optional["_Progress"] = None,
-                       skip_units: int = 0, extra_steps: int = 0):
+                       skip_units: int = 0, extra_steps: int = 0,
+                       index_cache: Optional[Dict] = None):
     """Sequential (1-device) outer loop: for each text file and index
     shard, call visit(fi, text, index, bsearch_steps). The first
     skip_units (file, shard) units are skipped entirely (checkpoint
@@ -297,25 +298,40 @@ def _foreach_shard_seq(cfg: RealConfig, texts: List[TextFile], cand_cap,
     reader thread + OpenMP team, matchUniqueImplementation.cpp:1253-1297).
     visit may return a sync handle (any device array of its last dispatch);
     at most 2 units are kept in flight so queued index buffers stay
-    HBM-bounded."""
+    HBM-bounded.
+
+    index_cache: when the whole run is a SINGLE (text, shard) unit, the
+    built index is parked there so the overflow rerun (driver recursion)
+    reuses it instead of re-sorting — the rebuild was ~4.5 s of a 332-read
+    rerun at chr21 scale. Multi-unit runs never cache (HBM-bounded)."""
     prog = prog or _Progress(cfg.verbose)
     unit = 0
     inflight: List = []
+    per_text = []
     for fi, tf in enumerate(texts):
         if not _text_usable(cfg, tf, verbose=True):
             continue
         text = tf.packed
         num_windows = text.n - cfg.seedl + 1
         shards = _plan_shards(cfg, text)
-        bounds = _shard_bounds(num_windows, shards)
+        per_text.append((fi, text, _shard_bounds(num_windows, shards)))
+    total_units = sum(len(b) for _, _, b in per_text)
+    for fi, text, bounds in per_text:
         for si, (s, e) in enumerate(bounds):
             unit += 1
             if unit <= skip_units:
                 continue
             while len(inflight) >= 2:
                 jax.block_until_ready(inflight.pop(0))
-            with prog.phase("index_build"):
-                index = _build(cfg, text, start=s, num_windows=e - s)
+            ck = (fi, s, e, cfg.seedl)
+            cached = index_cache.get(ck) if index_cache is not None else None
+            if cached is not None:
+                index = cached
+            else:
+                with prog.phase("index_build"):
+                    index = _build(cfg, text, start=s, num_windows=e - s)
+                if index_cache is not None and total_units == 1:
+                    index_cache[ck] = index
             steps = _bsearch_steps_static(e - s, cand_cap,
                                           index.bucket_bits, extra_steps)
             prog.event(f"file {fi}: index shard {si + 1}/{len(bounds)} "
@@ -385,8 +401,11 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
                      patid_filter: Optional[np.ndarray] = None,
                      cand_cap: Optional[int] = None,
                      survivor_cap: Optional[int] = None,
-                     _depth: int = 0) -> MatchResult:
+                     _depth: int = 0,
+                     _index_cache: Optional[Dict] = None) -> MatchResult:
     score_mode = score_mode or default_score_mode()
+    if _index_cache is None:
+        _index_cache = {}
     cand_cap = cand_cap or cfg.cand_cap
     survivor_cap = survivor_cap or cfg.survivor_cap
     numpat = rs.num_reads
@@ -403,7 +422,6 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
     # (187 ms vs 30 ms per step) — the one-off host rerun is ~20x cheaper
     kw = _step_kwargs(cfg, cand_cap, survivor_cap, score_mode, tables,
                       esc_factor=1)
-    extra_steps = 8 * _depth
 
     result = MatchResult(
         st=np.zeros(numpat, np.int32), pos=np.zeros(numpat, np.int32),
@@ -411,6 +429,8 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
         errs=np.zeros(numpat, np.int32),
         score=np.full(numpat, -np.finfo(np.float32).max, np.float32))
 
+    import time as _time
+    _t_setup = _time.perf_counter()
     source = _make_source(cfg, rs, patid_filter,
                           row_align=n_dev if use_mesh else 1)
     plans = source.plans
@@ -419,6 +439,7 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
     overflow = np.zeros(numpat, bool)
     overflows: Dict[int, list] = {}
     prog = _Progress(cfg.verbose)
+    prog.phase_s["setup"] = _time.perf_counter() - _t_setup
     done_reads = [0]
     every = max(1, len(plans) // 8)
 
@@ -489,8 +510,7 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
             checkpoint_unit()
             return states[len(plans) - 1].st if plans else None
 
-        _foreach_shard_mesh(cfg, texts, cand_cap, visit, prog, skip_units,
-                            extra_steps)
+        _foreach_shard_mesh(cfg, texts, cand_cap, visit, prog, skip_units)
     else:
         def visit(fi, text, index, steps):
             done_reads[0] = 0
@@ -509,31 +529,34 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
             return states[len(plans) - 1].st if plans else None
 
         _foreach_shard_seq(cfg, texts, cand_cap, visit, prog, skip_units,
-                           extra_steps)
+                           index_cache=_index_cache)
 
-    # one D2H round-trip for everything: concatenate per-batch state and
-    # overflow on device, fetch once
-    allst = _concat_states([states[bi] for bi in range(len(plans))])
+    # one synchronization for everything: start every per-batch fetch
+    # async, then materialize (a device-side concat looked like "one
+    # round trip" but its jit specializes on the PLAN COUNT — 2.9 s of
+    # in-run compiles at 123 chr21 batches; the async-first tree fetch
+    # pipelines the transfers just as well with zero compiles)
     allover = [functools.reduce(jnp.logical_or, overflows[bi])
                if bi in overflows else jnp.zeros(plans[bi].rows, bool)
                for bi in range(len(plans))]
-    allover = jnp.concatenate(allover) if allover else jnp.zeros(0, bool)
     with prog.phase("drain"):
         # dispatch is sync-free, so queued device work from the whole
         # match phase completes inside this fetch — "drain" is the real
         # device-execution tail, "match" above only dispatch overhead
-        st, over = _fetch_tree((allst, allover))
-    off = 0
+        st, over = _fetch_tree(
+            ([states[bi] for bi in range(len(plans))], allover))
+    collect_cm = prog.phase("collect")
+    collect_cm.__enter__()
     for bi, p in enumerate(plans):
         n = len(p.patids)
-        result.st[p.patids] = st.st[off:off + n]
-        result.pos[p.patids] = st.pos[off:off + n]
-        result.frag[p.patids] = st.frag[off:off + n]
-        result.fileid[p.patids] = st.fileid[off:off + n]
-        result.errs[p.patids] = st.errs[off:off + n]
-        result.score[p.patids] = st.score[off:off + n]
-        overflow[p.patids[over[off:off + n]]] = True
-        off += p.rows
+        result.st[p.patids] = st[bi].st[:n]
+        result.pos[p.patids] = st[bi].pos[:n]
+        result.frag[p.patids] = st[bi].frag[:n]
+        result.fileid[p.patids] = st[bi].fileid[:n]
+        result.errs[p.patids] = st[bi].errs[:n]
+        result.score[p.patids] = st[bi].score[:n]
+        overflow[p.patids[over[bi][:n]]] = True
+    collect_cm.__exit__(None, None, None)
 
     prog.summary()
     over_ids = np.flatnonzero(overflow)
@@ -552,7 +575,7 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
         sub = run_match_unique(
             cfg, rs, texts, score_mode=score_mode, patid_filter=over_ids,
             cand_cap=cand_cap * 16, survivor_cap=survivor_cap * 16,
-            _depth=_depth + 1)
+            _depth=_depth + 1, _index_cache=_index_cache)
         for f in ("st", "pos", "frag", "fileid", "errs", "score"):
             getattr(result, f)[over_ids] = getattr(sub, f)[over_ids]
     if ck is not None:
@@ -573,11 +596,6 @@ def _make_source(cfg: RealConfig, rs: reads_io.ReadSet,
         rs, cfg.batch_size, cfg.seedl, patid_filter, row_align,
         warn=lambda m: print(m, file=sys.stderr),
         resident_budget_bytes=budget)
-
-
-@jax.jit
-def _concat_states(states: List[MatchState]) -> MatchState:
-    return jax.tree.map(lambda *xs: jnp.concatenate(xs), *states)
 
 
 # ---------------------------------------------------------------------------
@@ -736,7 +754,8 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
                   cand_cap: Optional[int] = None,
                   survivor_cap: Optional[int] = None,
                   as_arrays: bool = False,
-                  _depth: int = 0):
+                  _depth: int = 0,
+                  _index_cache: Optional[Dict] = None):
     """Collect every qualifying hit per read.
 
     Returns {patid: [(k, pos, fileid, frag, score, inverted), ...]} deduped
@@ -747,6 +766,8 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
     score_mode = score_mode or default_score_mode()
     cand_cap = cand_cap or cfg.cand_cap
     survivor_cap = survivor_cap or cfg.survivor_cap
+    if _index_cache is None:
+        _index_cache = {}
     n_dev = len(jax.local_devices())
     use_mesh = cfg.use_mesh if cfg.use_mesh is not None else n_dev > 1
 
@@ -858,7 +879,8 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
             checkpoint_unit()
             return surv.pos if surv is not None else None
 
-        _foreach_shard_seq(cfg, texts, cand_cap, visit, prog, skip_units)
+        _foreach_shard_seq(cfg, texts, cand_cap, visit, prog, skip_units,
+                           index_cache=_index_cache)
 
     with prog.phase("drain"):
         drain(0)
@@ -880,7 +902,8 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
                                 patid_filter=over_ids,
                                 cand_cap=cand_cap * 4,
                                 survivor_cap=survivor_cap * 4,
-                                as_arrays=True, _depth=_depth + 1)
+                                as_arrays=True, _depth=_depth + 1,
+                                _index_cache=_index_cache)
             keep = ~np.isin(cols[0], over_ids)
             cols = _sort_dedup_hits(tuple(
                 np.concatenate([a[keep], b]) for a, b in zip(cols, sub)))
@@ -894,7 +917,8 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
             raise RuntimeError("matchAll overflow beyond escalation limit")
         sub = run_match_all(cfg, rs, texts, score_mode=score_mode,
                             patid_filter=over_ids, cand_cap=cand_cap * 4,
-                            survivor_cap=survivor_cap * 4, _depth=_depth + 1)
+                            survivor_cap=survivor_cap * 4, _depth=_depth + 1,
+                            _index_cache=_index_cache)
         for pid in over_ids:
             hits[int(pid)] = sub.get(int(pid), [])
             if not hits[int(pid)]:

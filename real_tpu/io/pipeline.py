@@ -51,8 +51,12 @@ class Batch:
 
 
 def _round_b(n: int, bmax: int) -> int:
-    """Pad batch rows to the next power of two (limits jit retraces)."""
-    b = 1
+    """Pad batch rows to the next power of two, floored at 512 (limits
+    jit retraces AND shares one compiled shape between the tiny
+    overflow-rerun batches of different runs — a 3-read warmup rerun and
+    a 300-read production rerun both pad to 512, so the escalated-cap
+    step compiles once)."""
+    b = 512
     while b < n:
         b *= 2
     return min(b, bmax)
