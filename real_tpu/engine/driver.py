@@ -884,16 +884,17 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
 
     with prog.phase("drain"):
         drain(0)
-    prog.summary()
 
     over_ids = np.flatnonzero(overflow)
-    if _depth == 0:
-        last_metrics.clear()
-        last_metrics.update({
-            "phase_s": {k: round(v, 3) for k, v in prog.phase_s.items()},
-            "overflow_rerun_reads": int(len(over_ids))})
     if as_arrays:
-        cols = acc.finalize_arrays()
+        with prog.phase("finalize"):
+            cols = acc.finalize_arrays()
+        prog.summary()
+        if _depth == 0:
+            last_metrics.clear()
+            last_metrics.update({
+                "phase_s": {k: round(v, 3) for k, v in prog.phase_s.items()},
+                "overflow_rerun_reads": int(len(over_ids))})
         if len(over_ids):
             if _depth >= 4:
                 raise RuntimeError(
@@ -911,6 +912,12 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
             ck.delete()
         return cols
 
+    prog.summary()
+    if _depth == 0:
+        last_metrics.clear()
+        last_metrics.update({
+            "phase_s": {k: round(v, 3) for k, v in prog.phase_s.items()},
+            "overflow_rerun_reads": int(len(over_ids))})
     hits = acc.finalize()
     if len(over_ids):
         if _depth >= 4:
