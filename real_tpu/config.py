@@ -37,7 +37,10 @@ class RealConfig:
     fastq: bool = False          # sniffed from the pattern file
 
     # --- TPU-engine knobs (no reference equivalent) ---
-    batch_size: int = 8192       # reads per device batch
+    batch_size: int = 32768      # reads per device batch (dispatch
+                                 # overhead through the tunnel measured
+                                 # ~10 ms/batch — 50M-read runs need few,
+                                 # large steps; device cost is linear in B)
     # Candidate/survivor caps size the fixed-shape verify lanes. Real
     # genomes average <1 candidate per probe, so small caps keep the
     # gather volume minimal; reads that overflow are automatically rerun

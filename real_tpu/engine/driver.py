@@ -300,10 +300,12 @@ def _foreach_shard_seq(cfg: RealConfig, texts: List[TextFile], cand_cap,
     at most 2 units are kept in flight so queued index buffers stay
     HBM-bounded.
 
-    index_cache: when the whole run is a SINGLE (text, shard) unit, the
-    built index is parked there so the overflow rerun (driver recursion)
-    reuses it instead of re-sorting — the rebuild was ~4.5 s of a 332-read
-    rerun at chr21 scale. Multi-unit runs never cache (HBM-bounded)."""
+    index_cache: the LAST TWO built units are parked there so the
+    overflow rerun (driver recursion) reuses them instead of re-sorting
+    — the rebuild was ~4.5 s of a 332-read rerun at chr21 scale, ~10 s
+    at fly scale (2 shards). Two cached units match the loop's own
+    2-in-flight HBM envelope (and cover every 1- and 2-shard run
+    completely); older entries are evicted."""
     prog = prog or _Progress(cfg.verbose)
     unit = 0
     inflight: List = []
@@ -315,7 +317,6 @@ def _foreach_shard_seq(cfg: RealConfig, texts: List[TextFile], cand_cap,
         num_windows = text.n - cfg.seedl + 1
         shards = _plan_shards(cfg, text)
         per_text.append((fi, text, _shard_bounds(num_windows, shards)))
-    total_units = sum(len(b) for _, _, b in per_text)
     for fi, text, bounds in per_text:
         for si, (s, e) in enumerate(bounds):
             unit += 1
@@ -330,8 +331,10 @@ def _foreach_shard_seq(cfg: RealConfig, texts: List[TextFile], cand_cap,
             else:
                 with prog.phase("index_build"):
                     index = _build(cfg, text, start=s, num_windows=e - s)
-                if index_cache is not None and total_units == 1:
+                if index_cache is not None:
                     index_cache[ck] = index
+                    while len(index_cache) > 2:
+                        index_cache.pop(next(iter(index_cache)))
             steps = _bsearch_steps_static(e - s, cand_cap,
                                           index.bucket_bits, extra_steps)
             prog.event(f"file {fi}: index shard {si + 1}/{len(bounds)} "

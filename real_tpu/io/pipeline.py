@@ -73,9 +73,15 @@ def make_plans(rs: reads_io.ReadSet, batch_size: int, seedl: int,
     plans: List[BatchPlan] = []
     warned_short = False
     B = -(-batch_size // row_align) * row_align
+    fmask = None
+    if patid_filter is not None:
+        # boolean-mask membership: np.isin sorts both sides (~4 s at 50M
+        # reads per overflow rerun); the mask lookup is one linear pass
+        fmask = np.zeros(rs.num_reads, bool)
+        fmask[patid_filter] = True
     for patl, patids in sorted(rs.length_buckets().items()):
-        if patid_filter is not None:
-            patids = patids[np.isin(patids, patid_filter)]
+        if fmask is not None:
+            patids = patids[fmask[patids]]
             if len(patids) == 0:
                 continue
         if patl < seedl:

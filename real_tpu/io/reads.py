@@ -105,11 +105,18 @@ class ReadSet:
         return self.quals_flat[self.offsets[i]:self.offsets[i + 1]]
 
     def length_buckets(self) -> Dict[int, np.ndarray]:
-        """patids grouped by read length (ascending patid within bucket)."""
+        """patids grouped by read length (ascending patid within bucket).
+        Cached: np.unique over the lengths array is a sort — ~2 s at 50M
+        reads, and every make_source call (including overflow reruns)
+        needs the grouping."""
+        cached = getattr(self, "_length_buckets", None)
+        if cached is not None:
+            return cached
         buckets: Dict[int, np.ndarray] = {}
         for length in np.unique(self.lengths):
             buckets[int(length)] = np.flatnonzero(
                 self.lengths == length).astype(np.int64)
+        object.__setattr__(self, "_length_buckets", buckets)
         return buckets
 
     def dense_batch(self, patids: np.ndarray):

@@ -21,7 +21,7 @@ import numpy as np
 
 from real_tpu.io.reads import IdView, ReadSet
 
-STORE_VERSION = 2
+STORE_VERSION = 3
 
 
 def _store_path(path: str) -> str:
@@ -30,38 +30,54 @@ def _store_path(path: str) -> str:
         f"{os.path.abspath(path)}-{st.st_size}-{st.st_mtime_ns}-"
         f"{STORE_VERSION}".encode()).hexdigest()[:16]
     return os.path.join(os.path.dirname(os.path.abspath(path)),
-                        f".{os.path.basename(path)}.{key}.realstore.npz")
+                        f".{os.path.basename(path)}.{key}.realstore")
+
+
+_ARRAYS = ("lengths", "codes_flat", "offsets", "quals_flat",
+           "ids_blob", "ids_off")
 
 
 def save(rs: ReadSet, path: str) -> str:
+    """One raw .npy per array in a store DIRECTORY (version 3). The npz
+    container measured 50 s to reopen at 50M reads (6.5 GB through the
+    zip layer); raw .npy files load as memmaps instantly and page in on
+    first touch, overlapping the match loop."""
     store = _store_path(path)
+    os.makedirs(store, exist_ok=True)
     ids = (rs.ids if isinstance(rs.ids, IdView)
            else IdView.from_strings(list(rs.ids)))
-    np.savez(store,
-             lengths=rs.lengths, codes_flat=rs.codes_flat,
-             offsets=rs.offsets,
-             quals_flat=(rs.quals_flat if rs.quals_flat is not None
-                         else np.zeros(0, np.int8)),
+    arrays = dict(lengths=rs.lengths, codes_flat=rs.codes_flat,
+                  offsets=rs.offsets,
+                  quals_flat=(rs.quals_flat if rs.quals_flat is not None
+                              else np.zeros(0, np.int8)),
+                  ids_blob=ids.blob, ids_off=ids.off)
+    for name, a in arrays.items():
+        np.save(os.path.join(store, name + ".npy"), a)
+    np.savez(os.path.join(store, "meta.npz"),
              has_quals=np.array([rs.quals_flat is not None]),
              fastq=np.array([rs.fastq]),
-             quality_offset=np.array([rs.quality_offset]),
-             ids_blob=ids.blob, ids_off=ids.off)
+             quality_offset=np.array([rs.quality_offset]))
+    # the meta file doubles as the completion marker (written last)
     return store
 
 
 def load(path: str) -> Optional[ReadSet]:
     store = _store_path(path)
-    if not os.path.exists(store):
+    meta_p = os.path.join(store, "meta.npz")
+    if not os.path.exists(meta_p):
         return None
     try:
-        z = np.load(store)
+        meta = np.load(meta_p)
+        z = {name: np.load(os.path.join(store, name + ".npy"),
+                           mmap_mode="r") for name in _ARRAYS}
         return ReadSet(
             ids=IdView(z["ids_blob"], z["ids_off"]),
             lengths=z["lengths"], codes_flat=z["codes_flat"],
             offsets=z["offsets"],
-            quals_flat=z["quals_flat"] if bool(z["has_quals"][0]) else None,
-            fastq=bool(z["fastq"][0]),
-            quality_offset=int(z["quality_offset"][0]))
+            quals_flat=z["quals_flat"] if bool(meta["has_quals"][0])
+            else None,
+            fastq=bool(meta["fastq"][0]),
+            quality_offset=int(meta["quality_offset"][0]))
     except Exception:
         return None
 

@@ -60,13 +60,30 @@ def plan_index_shards(num_windows: int, fracmem: float,
                       reserved_bytes: int = 0,
                       hbm_bytes: int | None = None) -> int:
     """Number of index shards so one shard's lists (plus build
-    temporaries) fit the fracmem budget of one device."""
+    temporaries) fit the fracmem budget of one device.
+
+    Beyond the HBM bound, one extra shard can pay for itself by keeping
+    per-shard bucket occupancy <= 2 (bucket bits cap at 2^25,
+    index.build.pick_bucket_bits): below that the matcher skips
+    in-bucket bisection (bucket gathers 2 + K lane gathers per probe vs
+    2 + 16 bisection gathers + a re-check). The two candidates are
+    compared by estimated gathers/read = shards * gathers-per-probe and
+    the cheaper one wins — at Drosophila scale (140M windows) 3
+    bisection-free shards beat 2 bisecting ones; at GRCh38 scale the
+    occupancy is so high that fewer, bisecting shards win."""
     hbm = hbm_bytes if hbm_bytes is not None else hbm_bytes_per_device()
     budget = fracmem * hbm - BUCKET_TABLE_BYTES - reserved_bytes
     if budget <= 0:
         budget = 0.25 * hbm
     per_shard_cost = BYTES_PER_WINDOW * BUILD_FACTOR
-    return max(1, math.ceil(num_windows * per_shard_cost / budget))
+    base = max(1, math.ceil(num_windows * per_shard_cost / budget))
+    nobis = max(base, math.ceil(num_windows / (2 << 25)))
+
+    def gathers(shards: int) -> float:
+        occ = num_windows / shards / float(1 << 25)
+        return shards * (2 + (16 if occ > 2.0 else 8))
+
+    return nobis if gathers(nobis) < gathers(base) else base
 
 
 def choose_mesh_shape(n_devices: int, total_shards: int):
