@@ -39,7 +39,8 @@ def parse_args(argv: List[str]) -> RealConfig:
         "-trace": ("trace", str), "-metrics": ("metrics_json", str),
     }
     bool_flags = {"-u": "match_unique", "-q": "scores",
-                  "-R": "rewritepatterns", "-g": "gaps", "-v": "verbose"}
+                  "-R": "rewritepatterns", "-g": "gaps", "-v": "verbose",
+                  "-debug": "debug_checks"}
     while i < len(argv):
         a = argv[i]
         if a in flags_with_arg:
@@ -117,9 +118,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         import json
         wall = time.perf_counter() - t0
         m = dict(driver.last_metrics)
+        from real_tpu import native
         m.update({"wall_s": round(wall, 3), "num_reads": rs.num_reads,
                   "reads_per_sec": round(rs.num_reads / max(wall, 1e-9), 1),
-                  "mode": "unique" if cfg.match_unique else "all"})
+                  "mode": "unique" if cfg.match_unique else "all",
+                  # the native C++ formatter/parser/argsort change the
+                  # output pass ~7x; a silent fallback to the Python
+                  # paths must be visible in the metrics
+                  "native_paths_active": native.get_lib() is not None})
         with open(cfg.metrics_json, "w") as f:
             json.dump(m, f, indent=1)
     return 0

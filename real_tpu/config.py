@@ -74,6 +74,11 @@ class RealConfig:
     metrics_json: str = ""            # -metrics <path>: write structured
                                       # JSON run metrics (phase timers,
                                       # counts) — SURVEY §5.5
+    debug_checks: bool = False        # -debug 1: enable jax_debug_nans for
+                                      # the run and assert result invariants
+                                      # (state/error/position ranges, finite
+                                      # scores) after each driver run —
+                                      # SURVEY §5.2's NaN/overflow checks
     verbose: bool = False             # -v: stderr progress (reference prints
                                       # processed/numpat fractions,
                                       # matchUniqueImplementation.cpp:1292)

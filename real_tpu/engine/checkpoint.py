@@ -26,6 +26,17 @@ import numpy as np
 _FIELDS = ("st", "pos", "frag", "fileid", "errs", "score")
 
 
+def _file_stamp(path: str):
+    """(size, mtime_ns) of an input file — editing a file in place while
+    keeping its name and read count must invalidate the checkpoint
+    (name+count alone aliased a stale checkpoint onto changed data)."""
+    try:
+        st = os.stat(path)
+        return [st.st_size, st.st_mtime_ns]
+    except OSError:
+        return [0, 0]
+
+
 def fingerprint(cfg, texts, num_reads: int, num_batches: int,
                 cand_cap: int, survivor_cap: int) -> str:
     ident = {
@@ -35,7 +46,9 @@ def fingerprint(cfg, texts, num_reads: int, num_batches: int,
                 cfg.gcmut_bias],
         "caps": [cand_cap, survivor_cap],
         "texts": [(t.name, int(t.packed.n)) for t in texts],
+        "textfile": _file_stamp(cfg.textfilename),
         "reads": [cfg.patternfilename, num_reads, num_batches],
+        "readfile": _file_stamp(cfg.patternfilename),
     }
     return hashlib.sha256(
         json.dumps(ident, sort_keys=True).encode()).hexdigest()

@@ -66,6 +66,41 @@ def _fetch_tree(tree):
     return jax.tree.map(np.asarray, tree)
 
 
+def _apply_debug_checks(cfg) -> None:
+    """SURVEY §5.2: NaN/overflow debug checks behind a flag. Enables
+    jax_debug_nans (every jit result is scanned for NaNs and the failing
+    primitive re-run eagerly) for the rest of the process; off by
+    default because it forces a device sync per dispatched computation."""
+    if cfg.debug_checks and not jax.config.jax_debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
+
+def validate_result(cfg, result: "MatchResult", texts) -> None:
+    """Invariant assertions on a finished matchUnique result (-debug)."""
+    st = result.st
+    assert ((st >= 0) & (st <= 4)).all(), "state out of range"
+    matched = (st == 1) | (st == 2)
+    assert (result.errs[matched] <= cfg.totalkmax).all(), \
+        "matched read exceeds totalkmax"
+    assert (result.pos[matched] >= 0).all(), "negative match position"
+    for fi in np.unique(result.fileid[matched]):
+        n = texts[int(fi)].packed.n
+        sel = matched & (result.fileid == fi)
+        assert (result.pos[sel] < n).all(), "position beyond text"
+    if cfg.scores:
+        assert np.isfinite(result.score[matched]).all(), \
+            "non-finite score on matched read"
+
+
+def validate_hits(cfg, cols) -> None:
+    """Invariant assertions on finished matchAll hit columns (-debug)."""
+    pid, k, pos, fid, frag, score, inv = cols
+    assert (k <= cfg.totalkmax).all(), "hit exceeds totalkmax"
+    assert (pos >= 0).all(), "negative hit position"
+    if cfg.scores:
+        assert np.isfinite(score).all(), "non-finite hit score"
+
+
 def default_score_mode() -> str:
     """'f64' where the backend supports doubles (CPU — exact reference
     math), 'ff' (two-float) on TPU."""
@@ -171,7 +206,13 @@ def _bsearch_steps_static(num_windows: int, cand_cap: int,
     overflow -> host rerun (reruns add 8 steps per depth); it can never
     silently drop a true hit."""
     occ = num_windows / float(1 << bucket_bits)
-    if extra == 0 and occ <= 2.0 * max(cand_cap / 8.0, 1.0):
+    # escalated caps (overflow reruns) must take the BISECTION path: the
+    # lane path's [B, 12, K] tier arrays scale linearly with K, and a
+    # deep-bucket rerun ladder (16x caps per depth) otherwise allocates
+    # gigabytes per step by depth 3 (the skewed-bucket adversarial test
+    # found exactly that); bisection resolves arbitrarily deep buckets
+    # with log-depth gathers instead
+    if extra == 0 and cand_cap <= 16 and occ <= 2.0 * max(cand_cap / 8.0, 1.0):
         return 0
     # depth for 8x the mean occupancy: Poisson tails stay within ~4x the
     # mean, and an unconverged bucket only raises overflow -> rerun
@@ -506,7 +547,8 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
                     text.words, text.nbits, text.ncum, text.frag_offsets,
                     b.codes, b.quals, b.valid,
                     states[bi], jnp.int32(fi), eps, sig_hi,
-                    mesh=mesh, bsearch_steps=steps, matchall=False, **kw)
+                    mesh=mesh, bsearch_steps=steps,
+                    text_has_n=text.has_n, matchall=False, **kw)
                 overflows.setdefault(bi, []).append(of)
                 win.push(states[bi].st)
                 tick(bi, b)
@@ -524,7 +566,8 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
                     text.words, text.nbits, text.ncum, text.frag_offsets,
                     b.codes, b.quals, b.valid,
                     states[bi], jnp.int32(fi), eps, index.sig_hi,
-                    matchall=False, bsearch_steps=steps, **kw)
+                    matchall=False, bsearch_steps=steps,
+                    text_has_n=text.has_n, **kw)
                 overflows.setdefault(bi, []).append(surv.overflow)
                 win.push(states[bi].st)
                 tick(bi, b)
@@ -583,6 +626,8 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
             getattr(result, f)[over_ids] = getattr(sub, f)[over_ids]
     if ck is not None:
         ck.delete()
+    if cfg.debug_checks and _depth == 0:
+        validate_result(cfg, result, texts)
     return result
 
 
@@ -771,6 +816,7 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
     survivor_cap = survivor_cap or cfg.survivor_cap
     if _index_cache is None:
         _index_cache = {}
+    _apply_debug_checks(cfg)
     n_dev = len(jax.local_devices())
     use_mesh = cfg.use_mesh if cfg.use_mesh is not None else n_dev > 1
 
@@ -860,7 +906,8 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
                     text.words, text.nbits, text.ncum, text.frag_offsets,
                     b.codes, b.quals, b.valid,
                     dummy_states[bi], jnp.int32(fi), eps, sig_hi,
-                    mesh=mesh, bsearch_steps=steps, matchall=True, **kw)
+                    mesh=mesh, bsearch_steps=steps,
+                    text_has_n=text.has_n, matchall=True, **kw)
                 enqueue(seq, b, fi, bi)
             checkpoint_unit()
             return seq.pos if seq is not None else None
@@ -877,7 +924,8 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
                     text.words, text.nbits, text.ncum, text.frag_offsets,
                     b.codes, b.quals, b.valid,
                     dummy_states[bi], jnp.int32(fi), eps, index.sig_hi,
-                    matchall=True, bsearch_steps=steps, **kw)
+                    matchall=True, bsearch_steps=steps,
+                    text_has_n=text.has_n, **kw)
                 enqueue(surv, b, fi, bi)
             checkpoint_unit()
             return surv.pos if surv is not None else None
@@ -913,6 +961,8 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
                 np.concatenate([a[keep], b]) for a, b in zip(cols, sub)))
         if ck is not None:
             ck.delete()
+        if cfg.debug_checks and _depth == 0:
+            validate_hits(cfg, cols)
         return cols
 
     prog.summary()

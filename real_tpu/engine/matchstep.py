@@ -214,7 +214,7 @@ def find_survivors(
         codes, quals, read_valid,                  # [B, L], [B, L], [B]
         *, seedl: int, seedkmax: int, totalkmax: int,
         cand_cap: int, survivor_cap: int,
-        bsearch_steps: int = 0,
+        bsearch_steps: int = 0, text_has_n: bool = True,
         index_sig_hi=None) -> Survivors:
     """All verified hits of the batch against this index shard, compacted to
     <= survivor_cap per read in reference merge order.
@@ -344,22 +344,89 @@ def find_survivors(
         # the K-lane window only when the bucket holds > K entries and
         # lane K-1 hasn't passed the probe yet — that (rare) case raises
         # overflow -> escalation, which adds bisection steps.
+        #
+        # TWO-TIER lanes: the flat [B, 12, K] signature gather was 58%
+        # of the whole step (47 ms of 81 ms at B=32k, K=8) while bucket
+        # occupancy is ~1.4 — only ~1.4% of probes have buckets deeper
+        # than 4. Tier 1 gathers K1 = min(4, K) lanes for every probe;
+        # probes whose bucket exceeds K1 are compacted to a fixed D-slot
+        # list and gather their remaining K-K1 lanes there. Exactness:
+        # a deep probe that gets no slot (> D deep probes in the batch,
+        # essentially impossible at these occupancies) just flags
+        # overflow -> host rerun, like a too-deep bucket always did.
         probe_list = (jnp.arange(2 * NUM_LISTS, dtype=jnp.int32)
                       % NUM_LISTS) * M                    # [12]
-        idxs = jnp.clip(begin_pm[..., None] + lane, 0, M - 1) \
-            + probe_list[None, :, None]                   # [B, 12, K]
+        K1 = K if K <= 4 else 4
+        lane1 = jnp.arange(K1, dtype=jnp.int32)
+        idxs = jnp.clip(begin_pm[..., None] + lane1, 0, M - 1) \
+            + probe_list[None, :, None]                   # [B, 12, K1]
         lane_sig = jnp.take(sig_flat, idxs)
-        eq = lane_sig == probe_sig[..., None]
-        last_le = lane_sig[..., K - 1] <= probe_sig
+        eq1 = lane_sig == probe_sig[..., None]
+        lane_hi = None
         if sc.wide:
             lane_hi = jnp.take(sig_hi_flat, idxs)
-            eq &= lane_hi == probe_hi[..., None]
-            lhk, lsk = lane_hi[..., K - 1], lane_sig[..., K - 1]
-            last_le = (lhk < probe_hi) | ((lhk == probe_hi)
-                                          & (lsk <= probe_sig))
-        in_range = lane[None, None, :] < count_pm[..., None]
-        cand_valid = in_range & eq & read_valid[:, None, None]
-        overflow = ((count_pm > K) & last_le).any(axis=1)
+            eq1 &= lane_hi == probe_hi[..., None]
+
+        def le_probe(lo32, hi32):
+            if sc.wide:
+                return (hi32 < probe_hi) | ((hi32 == probe_hi)
+                                            & (lo32 <= probe_sig))
+            return lo32 <= probe_sig
+
+        in_range1 = lane1[None, None, :] < count_pm[..., None]
+        cand1 = in_range1 & eq1 & read_valid[:, None, None]
+        if K1 == K:
+            cand_valid = cand1
+            last_le = le_probe(lane_sig[..., K - 1],
+                               None if not sc.wide else lane_hi[..., K - 1])
+            overflow = ((count_pm > K) & last_le).any(axis=1)
+        else:
+            deep = count_pm > K1                          # [B, 12]
+            D = max(B // 2, 512)
+            flat_deep = deep.reshape(-1)
+            nprobe = flat_deep.shape[0]
+            dkey = jnp.where(flat_deep,
+                             jnp.arange(nprobe, dtype=jnp.int32),
+                             jnp.int32(nprobe))
+            dkey = lax.sort(dkey, dimension=0, is_stable=True)[:D]
+            got_slot = dkey < nprobe                      # [D]
+            pidx = jnp.minimum(dkey, nprobe - 1)
+            # scatter index: slotless rows write OUT of range (dropped) —
+            # clipping them to nprobe-1 instead would let their False
+            # payload race against probe nprobe-1's real value
+            pidx_w = jnp.where(got_slot, pidx, jnp.int32(nprobe))
+            pbegin = jnp.take(begin_pm.reshape(-1), pidx)
+            pcount = jnp.take(count_pm.reshape(-1), pidx)
+            plbase = jnp.take(probe_list, pidx % (2 * NUM_LISTS))
+            psig = jnp.take(probe_sig.reshape(-1), pidx)
+            lane2 = K1 + jnp.arange(K - K1, dtype=jnp.int32)
+            didx = jnp.clip(pbegin[:, None] + lane2, 0, M - 1) \
+                + plbase[:, None]                         # [D, K-K1]
+            dsig = jnp.take(sig_flat, didx)
+            eq2 = (dsig == psig[:, None]) & got_slot[:, None]
+            dlast = dsig[:, K - K1 - 1]
+            if sc.wide:
+                phi = jnp.take(probe_hi.reshape(-1), pidx)
+                dhi = jnp.take(sig_hi_flat, didx)
+                eq2 &= dhi == phi[:, None]
+                dlast_le = (dhi[:, K - K1 - 1] < phi) | (
+                    (dhi[:, K - K1 - 1] == phi) & (dlast <= psig))
+            else:
+                dlast_le = dlast <= psig
+            eq2 &= lane2[None, :] < pcount[:, None]
+            # scatter tier-2 validity back to probe-major lanes
+            cand2 = jnp.zeros((nprobe, K - K1), bool).at[pidx_w].set(
+                eq2, mode="drop").reshape(B, 2 * NUM_LISTS, K - K1)
+            cand2 &= read_valid[:, None, None]
+            cand_valid = jnp.concatenate([cand1, cand2], axis=2)
+            # overflow: deep probe without a slot, or a still-deeper
+            # bucket whose lane K-1 hasn't passed the probe
+            over_deep = jnp.zeros(nprobe, bool).at[pidx_w].set(
+                (pcount > K) & dlast_le, mode="drop")
+            no_slot = flat_deep & ~jnp.zeros(nprobe, bool).at[pidx_w].set(
+                got_slot, mode="drop")
+            overflow = (over_deep | no_slot).reshape(
+                B, 2 * NUM_LISTS).any(axis=1)
 
     # ---- compaction to S survivors in merge order --------------------------
     # (probe-major = list 0..5 straight then reverse,
@@ -433,8 +500,11 @@ def find_survivors(
     s_frag = jnp.clip(s_frag, 0, nfrag - 1).astype(jnp.int32)
     s_valid &= (s_pos + patl) <= frag_offsets[s_frag + 1]
 
-    # N-freedom over the whole window (AutoTextArray::isDontCareFree)
-    s_valid &= is_dontcare_free(nbits, ncum, posc, patl)
+    # N-freedom over the whole window (AutoTextArray::isDontCareFree);
+    # statically skipped for N-free texts — 4 of the ~10 phase-2 gathers
+    # per survivor lane
+    if text_has_n:
+        s_valid &= is_dontcare_free(nbits, ncum, posc, patl)
 
     # full-window Hamming distance: XOR + 2-bit pair popcount, 16 bases per
     # word (the RestMatch.hpp:39-81 loop, extended over the seed too);
@@ -700,7 +770,8 @@ def survivors_with_escalation(
         codes, quals, read_valid,
         *, tables, seedl: int, seedkmax: int, totalkmax: int,
         cand_cap: int, survivor_cap: int, scores: bool, score_mode: str,
-        bsearch_steps: int, esc_factor: int = 1, esc_steps: int = 4,
+        bsearch_steps: int, text_has_n: bool = True,
+        esc_factor: int = 1, esc_steps: int = 4,
         index_sig_hi=None) -> Survivors:
     """Scored survivors of one (batch x shard), with optional DEVICE-side
     cap escalation.
@@ -728,7 +799,8 @@ def survivors_with_escalation(
             codes, quals, read_valid,
             seedl=seedl, seedkmax=seedkmax, totalkmax=totalkmax,
             cand_cap=K, survivor_cap=S,
-            bsearch_steps=steps, index_sig_hi=index_sig_hi)
+            bsearch_steps=steps, text_has_n=text_has_n,
+            index_sig_hi=index_sig_hi)
         if scores:
             surv = score_survivors(surv, tw, codes, quals, tables,
                                    score_mode=score_mode)
@@ -828,7 +900,8 @@ def compact_hits(surv: Survivors, cap: int) -> CompactHits:
     jax.jit,
     static_argnames=("tables", "seedl", "seedkmax", "totalkmax", "cand_cap",
                      "survivor_cap", "scores", "score_mode", "matchall",
-                     "bsearch_steps", "esc_factor", "esc_steps"))
+                     "bsearch_steps", "text_has_n", "esc_factor",
+                     "esc_steps"))
 def match_step(index_sig, index_pos, index_bb,
                words, nbits, ncum, frag_offsets,
                codes, quals, read_valid,
@@ -837,8 +910,8 @@ def match_step(index_sig, index_pos, index_bb,
                *, tables=None, seedl: int, seedkmax: int, totalkmax: int,
                cand_cap: int, survivor_cap: int,
                scores: bool, score_mode: str, matchall: bool,
-               bsearch_steps: int = 0, esc_factor: int = 1,
-               esc_steps: int = 4):
+               bsearch_steps: int = 0, text_has_n: bool = True,
+               esc_factor: int = 1, esc_steps: int = 4):
     """One (read batch x index shard) step. Returns (new_state, survivors).
 
     `tables` is the static ScoreTables constant set (scoring/scoring.py),
@@ -853,7 +926,7 @@ def match_step(index_sig, index_pos, index_bb,
         tables=tables, seedl=seedl, seedkmax=seedkmax, totalkmax=totalkmax,
         cand_cap=cand_cap, survivor_cap=survivor_cap, scores=scores,
         score_mode=score_mode, bsearch_steps=bsearch_steps,
-        esc_factor=esc_factor, esc_steps=esc_steps,
+        text_has_n=text_has_n, esc_factor=esc_factor, esc_steps=esc_steps,
         index_sig_hi=index_sig_hi)
     if matchall:
         return state, compact_hits(surv, cap=2 * codes.shape[0])

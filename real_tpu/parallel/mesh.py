@@ -92,8 +92,8 @@ def build_sharded_index(words, nb16, ncum16, n, start=0, *, seedl: int,
     jax.jit,
     static_argnames=("tables", "seedl", "seedkmax", "totalkmax", "cand_cap",
                      "survivor_cap", "scores", "score_mode", "mesh",
-                     "bsearch_steps", "matchall", "esc_factor",
-                     "esc_steps"))
+                     "bsearch_steps", "text_has_n", "matchall",
+                     "esc_factor", "esc_steps"))
 def sharded_match_step(index_sig, index_pos, index_bb,
                        words, nbits, ncum, frag_offsets,     # replicated
                        codes, quals, read_valid,             # [B,...] dp
@@ -102,7 +102,8 @@ def sharded_match_step(index_sig, index_pos, index_bb,
                        *, tables=None, seedl: int, seedkmax: int,
                        totalkmax: int, cand_cap: int, survivor_cap: int,
                        scores: bool, score_mode: str, mesh: Mesh,
-                       bsearch_steps: int = 0, matchall: bool = False,
+                       bsearch_steps: int = 0, text_has_n: bool = True,
+                       matchall: bool = False,
                        esc_factor: int = 1, esc_steps: int = 4):
     """One full step over the mesh: every (dp, shard) device verifies its
     read slice against its index shard; survivors are all-gathered over
@@ -121,8 +122,8 @@ def sharded_match_step(index_sig, index_pos, index_bb,
             tables=tables, seedl=seedl, seedkmax=seedkmax,
             totalkmax=totalkmax, cand_cap=cand_cap,
             survivor_cap=survivor_cap, scores=scores, score_mode=score_mode,
-            bsearch_steps=bsearch_steps, esc_factor=esc_factor,
-            esc_steps=esc_steps, index_sig_hi=sig_hi)
+            bsearch_steps=bsearch_steps, text_has_n=text_has_n,
+            esc_factor=esc_factor, esc_steps=esc_steps, index_sig_hi=sig_hi)
         # gather survivors over the shard axis: [n_shard, B_loc, S]
         gathered = jax.tree.map(
             lambda a: lax.all_gather(a, "shard", axis=0, tiled=False),

@@ -43,6 +43,10 @@ class PackedText:
     # adds a stable pre-sort pass ordering sentinels last (index/build.py)
     allt32: bool = False
     allt64: bool = False
+    # True when the text contains any wildcard base: N-free texts skip
+    # the per-candidate rank gathers entirely (a static jit arg — 4 of
+    # the ~10 phase-2 gathers per survivor lane)
+    has_n: bool = True
 
     @property
     def num_fragments(self) -> int:
@@ -83,6 +87,7 @@ def build_packed_text(codes: np.ndarray,
         ncum16=jnp.asarray(ncum16.astype(np.int32)),
         allt32=_has_all_t_pair(codes, 32),
         allt64=_has_all_t_pair(codes, 64),
+        has_n=bool(ncum16[-1] > 0),
     )
 
 

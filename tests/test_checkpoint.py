@@ -102,3 +102,55 @@ def test_stale_checkpoint_ignored(inputs, tmp_path):
     got = driver.run_match_unique(_cfg(g, r, ckpt), rs, texts,
                                   score_mode="f64")
     assert _result_tuple(got) == _result_tuple(full)
+
+
+def test_edited_readfile_invalidates_checkpoint(inputs, tmp_path):
+    """Editing the read file IN PLACE (same name, same read count, same
+    byte size) must invalidate the checkpoint: the fingerprint includes
+    the input files' (size, mtime) stamps."""
+    import shutil
+    import time
+
+    g, r0 = inputs
+    r = str(tmp_path / "r_edit.fa")
+    shutil.copy(r0, r)
+    rs = reads_io.parse_reads(r)
+    texts = driver.load_texts(_cfg(g, r))
+    from real_tpu.engine import checkpoint as ckpt_mod
+    fp1 = ckpt_mod.fingerprint(_cfg(g, r), texts, rs.num_reads, 3, 8, 8)
+
+    # rewrite one base in place: size and read count unchanged
+    with open(r, "r+b") as f:
+        f.seek(200)
+        c = f.read(1)
+        f.seek(200)
+        f.write(b"A" if c != b"A" else b"C")
+    time.sleep(0.01)   # ensure mtime_ns moves even on coarse clocks
+    os.utime(r)
+
+    rs2 = reads_io.parse_reads(r)
+    fp2 = ckpt_mod.fingerprint(_cfg(g, r), texts, rs2.num_reads, 3, 8, 8)
+    assert fp1 != fp2
+
+
+def test_debug_checks_flag(inputs):
+    """SURVEY §5.2: the -debug flag runs NaN/invariant checks without
+    changing results; the validators catch corrupted outputs."""
+    g, r = inputs
+    rs = reads_io.parse_reads(r)
+    cfg = _cfg(g, r)
+    cfg.debug_checks = True
+    texts = driver.load_texts(cfg)
+    res = driver.run_match_unique(cfg, rs, texts, score_mode="f64")
+
+    ref = driver.run_match_unique(_cfg(g, r), rs, texts, score_mode="f64")
+    assert _result_tuple(res) == _result_tuple(ref)
+
+    # the validator must reject a corrupted result
+    bad = driver.MatchResult(**{f: np.copy(getattr(res, f)) for f in
+                                ("st", "pos", "frag", "fileid", "errs",
+                                 "score")})
+    matched = (bad.st == 1) | (bad.st == 2)
+    bad.errs[np.flatnonzero(matched)[0]] = 99
+    with pytest.raises(AssertionError):
+        driver.validate_result(cfg, bad, texts)
