@@ -48,10 +48,22 @@ def ensure_data(d: str, genome_bp: int, reads: int, patl: int):
 
 def run_procs(nprocs: int, d: str) -> float:
     coord = f"127.0.0.1:{free_port()}"
+    # pin every process (including the 1-process baseline) to ONE
+    # intra-op thread: XLA CPU otherwise parallelizes the single-process
+    # run across all cores, which would misreport N-process scaling on a
+    # small host as ~1/N regardless of the actual communication cost.
+    # Env must be set at spawn: the sitecustomize imports jax at
+    # interpreter start, before the worker can touch os.environ.
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_cpu_multi_thread_eigen=false "
+                        "intra_op_parallelism_threads=1")
+    env["OMP_NUM_THREADS"] = "1"
+    env["OPENBLAS_NUM_THREADS"] = "1"
     t0 = time.perf_counter()
     procs = [subprocess.Popen(
         [sys.executable, WORKER, coord, str(nprocs), str(p), d],
-        stdout=subprocess.DEVNULL, stderr=subprocess.PIPE)
+        stdout=subprocess.DEVNULL, stderr=subprocess.PIPE, env=env)
         for p in range(nprocs)]
     for p in procs:
         _, err = p.communicate(timeout=3600)

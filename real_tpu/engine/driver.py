@@ -341,12 +341,13 @@ def _foreach_shard_seq(cfg: RealConfig, texts: List[TextFile], cand_cap,
     at most 2 units are kept in flight so queued index buffers stay
     HBM-bounded.
 
-    index_cache: the LAST TWO built units are parked there so the
-    overflow rerun (driver recursion) reuses them instead of re-sorting
-    — the rebuild was ~4.5 s of a 332-read rerun at chr21 scale, ~10 s
-    at fly scale (2 shards). Two cached units match the loop's own
-    2-in-flight HBM envelope (and cover every 1- and 2-shard run
-    completely); older entries are evicted."""
+    index_cache: a SINGLE-unit run parks its built index there so the
+    overflow rerun (driver recursion) reuses it instead of re-sorting —
+    the rebuild was ~4.5 s of a 332-read rerun at chr21 scale.
+    Multi-unit runs never cache: holding extra multi-GB index shards
+    alive through the pass loop raised HBM pressure enough to double a
+    Drosophila shard pass (135 s -> 270 s), which dwarfs the rerun's
+    rebuild cost."""
     prog = prog or _Progress(cfg.verbose)
     unit = 0
     inflight: List = []
@@ -358,6 +359,7 @@ def _foreach_shard_seq(cfg: RealConfig, texts: List[TextFile], cand_cap,
         num_windows = text.n - cfg.seedl + 1
         shards = _plan_shards(cfg, text)
         per_text.append((fi, text, _shard_bounds(num_windows, shards)))
+    total_units = sum(len(b) for _, _, b in per_text)
     for fi, text, bounds in per_text:
         for si, (s, e) in enumerate(bounds):
             unit += 1
@@ -372,10 +374,8 @@ def _foreach_shard_seq(cfg: RealConfig, texts: List[TextFile], cand_cap,
             else:
                 with prog.phase("index_build"):
                     index = _build(cfg, text, start=s, num_windows=e - s)
-                if index_cache is not None:
+                if index_cache is not None and total_units == 1:
                     index_cache[ck] = index
-                    while len(index_cache) > 2:
-                        index_cache.pop(next(iter(index_cache)))
             steps = _bsearch_steps_static(e - s, cand_cap,
                                           index.bucket_bits, extra_steps)
             prog.event(f"file {fi}: index shard {si + 1}/{len(bounds)} "
@@ -476,7 +476,8 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
     import time as _time
     _t_setup = _time.perf_counter()
     source = _make_source(cfg, rs, patid_filter,
-                          row_align=n_dev if use_mesh else 1)
+                          row_align=n_dev if use_mesh else 1,
+                          max_rows=512 if _depth else 0)
     plans = source.plans
     states: Dict[int, MatchState] = {
         bi: initial_state(p.rows) for bi, p in enumerate(plans)}
@@ -633,7 +634,8 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
 
 def _make_source(cfg: RealConfig, rs: reads_io.ReadSet,
                  patid_filter: Optional[np.ndarray],
-                 row_align: int = 1) -> pipeline.BatchSource:
+                 row_align: int = 1,
+                 max_rows: int = 0) -> pipeline.BatchSource:
     """Length-bucketed batch source: resident (one bulk upload, reused
     across shard passes) when the packed reads fit the HBM budget,
     else a streaming prefetch pipeline (io/pipeline.py)."""
@@ -643,7 +645,7 @@ def _make_source(cfg: RealConfig, rs: reads_io.ReadSet,
     return pipeline.make_source(
         rs, cfg.batch_size, cfg.seedl, patid_filter, row_align,
         warn=lambda m: print(m, file=sys.stderr),
-        resident_budget_bytes=budget)
+        resident_budget_bytes=budget, max_rows=max_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -826,7 +828,8 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
     kw = _step_kwargs(cfg, cand_cap, survivor_cap, score_mode, tables)
 
     source = _make_source(cfg, rs, patid_filter,
-                          row_align=n_dev if use_mesh else 1)
+                          row_align=n_dev if use_mesh else 1,
+                          max_rows=512 if _depth else 0)
     overflow = np.zeros(rs.num_reads, bool)
     dummy_states = {bi: initial_state(p.rows)
                     for bi, p in enumerate(source.plans)}

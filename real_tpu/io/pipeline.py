@@ -65,13 +65,19 @@ def _round_b(n: int, bmax: int) -> int:
 def make_plans(rs: reads_io.ReadSet, batch_size: int, seedl: int,
                patid_filter: Optional[np.ndarray] = None,
                row_align: int = 1,
-               warn=None) -> List[BatchPlan]:
+               warn=None, max_rows: int = 0) -> List[BatchPlan]:
     """Length-bucketed fixed-shape batch plans. row_align makes every
     batch's row count divisible by the mesh dp axis. One device shape per
     length bucket: tail batches pad to the same row count as full batches
-    (jit compiles once per bucket)."""
+    (jit compiles once per bucket). max_rows caps the batch shape below
+    batch_size — overflow reruns use 512-row batches so the
+    escalated-cap step always reuses one warm compiled shape instead of
+    cold-compiling at whatever row count the overflow happens to pad to
+    (a 19831-read rerun cost 91 s of in-run compile at fly scale)."""
     plans: List[BatchPlan] = []
     warned_short = False
+    if max_rows:
+        batch_size = min(batch_size, max_rows)
     B = -(-batch_size // row_align) * row_align
     fmask = None
     if patid_filter is not None:
@@ -211,7 +217,9 @@ class BatchSource:
 def make_source(rs: reads_io.ReadSet, batch_size: int, seedl: int,
                 patid_filter: Optional[np.ndarray] = None,
                 row_align: int = 1, warn=None,
-                resident_budget_bytes: int = 1 << 30) -> BatchSource:
-    plans = make_plans(rs, batch_size, seedl, patid_filter, row_align, warn)
+                resident_budget_bytes: int = 1 << 30,
+                max_rows: int = 0) -> BatchSource:
+    plans = make_plans(rs, batch_size, seedl, patid_filter, row_align, warn,
+                       max_rows=max_rows)
     return BatchSource(rs, plans,
                        resident_budget_bytes=resident_budget_bytes)
