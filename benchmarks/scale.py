@@ -135,8 +135,8 @@ def run_ours(name, c, d, g, r):
         driver.run_match_all(cfg, rs, texts, patid_filter=warm,
                              as_arrays=True)
         driver.run_match_all(cfg, rs, texts, patid_filter=esc,
-                             cand_cap=cfg.cand_cap * 4,
-                             survivor_cap=cfg.survivor_cap * 4,
+                             cand_cap=cfg.cand_cap * 16,
+                             survivor_cap=cfg.survivor_cap * 16,
                              as_arrays=True)
     del rs, texts
 

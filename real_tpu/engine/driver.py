@@ -955,8 +955,8 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
                     "matchAll overflow beyond escalation limit")
             sub = run_match_all(cfg, rs, texts, score_mode=score_mode,
                                 patid_filter=over_ids,
-                                cand_cap=cand_cap * 4,
-                                survivor_cap=survivor_cap * 4,
+                                cand_cap=cand_cap * 16,
+                                survivor_cap=survivor_cap * 16,
                                 as_arrays=True, _depth=_depth + 1,
                                 _index_cache=_index_cache)
             keep = ~np.isin(cols[0], over_ids)
@@ -979,8 +979,8 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
         if _depth >= 4:
             raise RuntimeError("matchAll overflow beyond escalation limit")
         sub = run_match_all(cfg, rs, texts, score_mode=score_mode,
-                            patid_filter=over_ids, cand_cap=cand_cap * 4,
-                            survivor_cap=survivor_cap * 4, _depth=_depth + 1,
+                            patid_filter=over_ids, cand_cap=cand_cap * 16,
+                            survivor_cap=survivor_cap * 16, _depth=_depth + 1,
                             _index_cache=_index_cache)
         for pid in over_ids:
             hits[int(pid)] = sub.get(int(pid), [])

@@ -929,6 +929,12 @@ def match_step(index_sig, index_pos, index_bb,
         text_has_n=text_has_n, esc_factor=esc_factor, esc_steps=esc_steps,
         index_sig_hi=index_sig_hi)
     if matchall:
-        return state, compact_hits(surv, cap=2 * codes.shape[0])
+        # hit capacity scales with the survivor cap: escalated reruns on
+        # repeat-rich genomes legitimately return hundreds of hits per
+        # read (matchAll has no reference-side cap), and a fixed 2B cap
+        # would flag whole-batch overflow forever
+        cap = max(2 * codes.shape[0],
+                  codes.shape[0] * surv.valid.shape[1] // 2)
+        return state, compact_hits(surv, cap=cap)
     new_state = fold_unique(state, surv, fileid, epsilon, scores=scores)
     return new_state, surv

@@ -145,7 +145,9 @@ def sharded_match_step(index_sig, index_pos, index_bb,
             # compact on device BEFORE leaving the mesh: the raw gathered
             # survivor tensors are the D2H bandwidth hog (see
             # matchstep.CompactHits); row ids are LOCAL to this dp slice
-            ch = compact_hits(seq, cap=2 * codes.shape[0])
+            cap = max(2 * codes.shape[0],
+                      codes.shape[0] * seq.valid.shape[1] // 2)
+            ch = compact_hits(seq, cap=cap)
             return state, ch._replace(count=ch.count.reshape(1))
         new_state = fold_unique(state, seq, fileid, epsilon, scores=scores)
         return new_state, seq.overflow
