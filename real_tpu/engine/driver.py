@@ -222,12 +222,22 @@ def _bsearch_steps_static(num_windows: int, cand_cap: int,
     return min(-(-steps // 4) * 4 + extra, 30)
 
 
-def _plan_shards(cfg: RealConfig, text: PackedText) -> int:
-    """-shards override or the -f fracmem HBM planner."""
+def _text_bytes(text: PackedText) -> int:
+    return (text.words.nbytes + text.nbits.nbytes + text.ncum.nbytes
+            + text.nb16.nbytes + text.ncum16.nbytes)
+
+
+def _plan_shards(cfg: RealConfig, text: PackedText,
+                 reserved_bytes: int = 0) -> int:
+    """-shards override or the -f fracmem HBM planner. reserved_bytes
+    must cover ALL device-resident texts, not just this one: split
+    oversized files keep every sub-text uploaded for the whole run, and
+    planning each against only its own footprint OOM'd the 3.1 Gbp
+    config at the file transition."""
     if cfg.index_shards > 0:
         return cfg.index_shards
     num_windows = max(text.n - cfg.seedl + 1, 0)
-    reserved = text.words.nbytes + text.nbits.nbytes + text.ncum.nbytes
+    reserved = reserved_bytes or _text_bytes(text)
     return plan.plan_index_shards(num_windows, cfg.fracmem,
                                   reserved_bytes=reserved)
 
@@ -351,13 +361,13 @@ def _foreach_shard_seq(cfg: RealConfig, texts: List[TextFile], cand_cap,
     prog = prog or _Progress(cfg.verbose)
     unit = 0
     inflight: List = []
+    usable = [(fi, tf.packed) for fi, tf in enumerate(texts)
+              if _text_usable(cfg, tf, verbose=True)]
+    all_text_bytes = sum(_text_bytes(t) for _, t in usable)
     per_text = []
-    for fi, tf in enumerate(texts):
-        if not _text_usable(cfg, tf, verbose=True):
-            continue
-        text = tf.packed
+    for fi, text in usable:
         num_windows = text.n - cfg.seedl + 1
-        shards = _plan_shards(cfg, text)
+        shards = _plan_shards(cfg, text, reserved_bytes=all_text_bytes)
         per_text.append((fi, text, _shard_bounds(num_windows, shards)))
     total_units = sum(len(b) for _, _, b in per_text)
     for fi, text, bounds in per_text:
@@ -402,12 +412,15 @@ def _foreach_shard_mesh(cfg: RealConfig, texts: List[TextFile], cand_cap,
     n_dev = len(jax.local_devices())
     unit = 0
     inflight: List = []
+    all_text_bytes = sum(_text_bytes(tf.packed) for tf in texts
+                         if _text_usable(cfg, tf, verbose=False))
     for fi, tf in enumerate(texts):
         if not _text_usable(cfg, tf, verbose=True):
             continue
         text = tf.packed
         num_windows = text.n - cfg.seedl + 1
-        total_shards = _plan_shards(cfg, text)
+        total_shards = _plan_shards(cfg, text,
+                                    reserved_bytes=all_text_bytes)
         n_dp, n_shard = plan.choose_mesh_shape(n_dev, total_shards)
         mesh = make_mesh(n_dp, n_shard)
         rounds = -(-total_shards // n_shard)

@@ -178,10 +178,15 @@ def _extract_windows(words: jnp.ndarray, pos: jnp.ndarray, nw: int):
 
     Equivalent of AutoTextArray::getTextWord (AutoTextArray.hpp:122-125):
     gathers the nw+1 aligned uint32 words covering the window once, then
-    funnel-shifts — (nw+1) gathers for nw words instead of 2*nw."""
-    bitpos = pos.astype(jnp.int32) << 1
-    idx = bitpos >> 5
-    sh = (bitpos & 31).astype(jnp.uint32)
+    funnel-shifts — (nw+1) gathers for nw words instead of 2*nw.
+
+    Index math avoids the doubled-position intermediate: pos << 1
+    overflows int32 for positions >= 2^30, which silently corrupted
+    every window beyond base 1.07G of a >2 Gbp split text (config 5's
+    first parity failure)."""
+    p32 = pos.astype(jnp.int32)
+    idx = p32 >> 4
+    sh = ((p32 & 15) << 1).astype(jnp.uint32)
     w = [jnp.take(words, idx + i, mode="clip") for i in range(nw + 1)]
     out = []
     for i in range(nw):

@@ -23,8 +23,13 @@ import sys
 import jax
 
 BYTES_PER_WINDOW = 6 * 8
-BUILD_FACTOR = 3.0        # sort temporaries + double-buffered lists
-BUCKET_TABLE_BYTES = 6 * ((1 << 25) + 1) * 4
+# Peak HBM per shard unit while the loop pipelines: the CURRENT unit's
+# lists + the NEXT unit's lists + the next build's lax.sort temporaries
+# (~2x the lists) coexist under the 2-in-flight dispatch bound — a
+# factor-3 model OOM'd the 3.1 Gbp config's 64M-window shards on a
+# 16 GB v5e
+BUILD_FACTOR = 4.0
+BUCKET_TABLE_BYTES = 2 * 6 * ((1 << 25) + 1) * 4   # two tables resident
 _DEFAULT_HBM = 16 * 1024**3   # v5e per-chip HBM; fallback when unprobeable
 
 

@@ -135,10 +135,12 @@ def _has_all_t_pair(codes: np.ndarray, seedl: int) -> bool:
 def extract_bases16(words: jnp.ndarray, base_pos: jnp.ndarray) -> jnp.ndarray:
     """Extract 16 bases starting at arbitrary base offset as one uint32
     (MSB-first). TPU equivalent of AutoTextArray::getTextWord
-    (AutoTextArray.hpp:122-125): two word gathers + a funnel shift."""
-    bitpos = base_pos.astype(jnp.int32) << 1
-    idx = bitpos >> 5
-    sh = (bitpos & 31).astype(jnp.uint32)
+    (AutoTextArray.hpp:122-125): two word gathers + a funnel shift.
+    No doubled-position intermediate: pos << 1 overflows int32 past
+    2^30 (see matchstep._extract_windows)."""
+    p32 = base_pos.astype(jnp.int32)
+    idx = p32 >> 4
+    sh = ((p32 & 15) << 1).astype(jnp.uint32)
     w0 = jnp.take(words, idx, mode="clip")
     w1 = jnp.take(words, idx + 1, mode="clip")
     hi = w0 << sh

@@ -138,3 +138,31 @@ def test_repeat_rich_matchall_superset(ref_real, repeat_inputs, tmp_path):
     ref_set = ab_util.as_record_set(open(refout).read())
     our_set = ab_util.as_record_set(ours)
     assert set(ref_set) <= set(our_set)
+
+
+def test_window_extraction_beyond_2pow30():
+    """Window extraction at base positions past 2^30: the old index math
+    doubled the position in int32 (pos << 1) and silently corrupted
+    every window beyond base 1.07G — config 5's >2 Gbp split texts hit
+    this as the first-ever parity failure at that scale."""
+    import jax.numpy as jnp
+    from real_tpu.engine.matchstep import _extract_windows
+    from real_tpu.index.hostbuild import _extract_bases16_np
+    from real_tpu.text.packed import extract_bases16
+
+    pos0 = (1 << 30) + 37
+    nwords = (pos0 >> 4) + 8
+    words = np.zeros(nwords, np.uint32)
+    rng = np.random.default_rng(3)
+    words[-8:] = rng.integers(0, 1 << 32, 8, dtype=np.uint32)
+    pos = np.array([pos0, pos0 + 5, (1 << 30) - 3], dtype=np.int32)
+
+    want = _extract_bases16_np(words, pos.astype(np.int64))
+    got = np.asarray(extract_bases16(jnp.asarray(words), jnp.asarray(pos)))
+    assert (got == want).all()
+
+    got_w = _extract_windows(jnp.asarray(words), jnp.asarray(pos), 2)
+    want_w = [_extract_bases16_np(words, pos.astype(np.int64) + 16 * i)
+              for i in range(2)]
+    for g, w in zip(got_w, want_w):
+        assert (np.asarray(g) == w).all()
