@@ -188,14 +188,21 @@ def build_lists_impl(words: jnp.ndarray, nb16: jnp.ndarray,
             _, keys, poss = lax.sort((flag, keys, poss), num_keys=1,
                                      dimension=1, is_stable=True)
     if sc.wide:
+        # the (hi, lo) LSD composition REQUIRES stability: the hi sort
+        # must preserve lo order among equal hi planes
         slo, khi, sp = lax.sort((keys, keys_hi, poss), num_keys=1,
                                 dimension=1, is_stable=True)
         shi, skey, sp = lax.sort((khi, slo, sp), num_keys=1,
                                  dimension=1, is_stable=True)
         h = sc.bucket_key_bits(shi, skey, bucket_bits).astype(jnp.int32)
     else:
+        # order within an equal signature is free (the matcher imposes
+        # reference merge order on compacted lanes), so the common
+        # narrow path uses the UNSTABLE sort — 1.36 s vs 2.06 s at
+        # [6, 46.7M] on v5e. Stability is only needed to preserve the
+        # sentinel-flag pre-sort's real-before-sentinel order.
         skey, sp = lax.sort((keys, poss), num_keys=1, dimension=1,
-                            is_stable=True)
+                            is_stable=order_sentinels)
         shi = None
         h = (skey >> jnp.uint32(sc.seedl - bucket_bits)).astype(jnp.int32)
 

@@ -1,10 +1,13 @@
 """Host-side (NumPy) index construction.
 
 Same output as index.build (six sorted (sig, pos) lists) computed with
-vectorized NumPy. Mirrors the device build EXACTLY — phase-blocked entry
-order, 16-rounded list length, per-shard bucket width, and the sentinel
-ordering pass — so tests can assert host == device array equality and a
-checkpoint taken against one build resumes against the other.
+vectorized NumPy. Mirrors the device build — phase-blocked entry order,
+16-rounded list length, per-shard bucket width, and the sentinel
+ordering pass. Wide (seedl > 32) builds are EXACTLY equal array-wise
+(both sides sort stably); narrow builds may permute entries within an
+equal signature run (the device uses the faster unstable sort there —
+order within an equal run cannot affect results, engine/matchstep.py
+imposes merge order on compacted lanes).
 
 The reference's equivalent is MapTextFile::readLists + OpenMP radix sort
 (MapTextFile.hpp:181-230, ParallelRadixSort.hpp).
