@@ -56,8 +56,7 @@ def run_procs(nprocs: int, d: str) -> float:
     # interpreter start, before the worker can touch os.environ.
     env = dict(os.environ)
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
-                        + " --xla_cpu_multi_thread_eigen=false "
-                        "intra_op_parallelism_threads=1")
+                        + " --xla_cpu_multi_thread_eigen=false")
     env["OMP_NUM_THREADS"] = "1"
     env["OPENBLAS_NUM_THREADS"] = "1"
     t0 = time.perf_counter()

@@ -28,8 +28,6 @@ def main():
         REPO, ".bench_data", "genome.fa"))
     ap.add_argument("--reads", default=os.path.join(
         REPO, ".bench_data", "reads.fa"))
-    ap.add_argument("--esc", type=int, default=4,
-                    help="esc_factor for the in-step escalation cond")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon sitecustomize "
                          "ignores JAX_PLATFORMS)")
@@ -78,7 +76,7 @@ def main():
         cfg.batch_size = bs
         source = driver._make_source(cfg, rs, None)
         kw = driver._step_kwargs(cfg, cfg.cand_cap, cfg.survivor_cap,
-                                 "ff", tables, esc_factor=args.esc)
+                                 "ff", tables)
 
         def run_all():
             states = {}

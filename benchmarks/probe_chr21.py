@@ -72,7 +72,7 @@ def main():
 
     def step(**kw2):
         kw = driver._step_kwargs(cfg, cfg.cand_cap, cfg.survivor_cap,
-                                 "ff", tables, esc_factor=4)
+                                 "ff", tables)
         kw.update(kw2)
 
         def f():
@@ -89,7 +89,6 @@ def main():
     out["match_step_s"] = round(total, 4)
     out["per_1m_reads_s"] = round(total / args.batch * 1e6, 2)
     out["noscores_s"] = round(devtime(step(scores=False)), 4)
-    out["noesc_s"] = round(devtime(step(esc_factor=1)), 4)
 
     print(json.dumps(out))
     for name, dur in agg.most_common(args.top):

@@ -242,12 +242,11 @@ def _plan_shards(cfg: RealConfig, text: PackedText,
                                   reserved_bytes=reserved)
 
 
-def _step_kwargs(cfg, cand_cap, survivor_cap, score_mode, tables,
-                 esc_factor: int = 1):
+def _step_kwargs(cfg, cand_cap, survivor_cap, score_mode, tables):
     return dict(tables=tables, seedl=cfg.seedl, seedkmax=cfg.seedkmax,
                 totalkmax=cfg.totalkmax, cand_cap=cand_cap,
                 survivor_cap=survivor_cap, scores=cfg.scores,
-                score_mode=score_mode, esc_factor=esc_factor)
+                score_mode=score_mode)
 
 
 @dataclasses.dataclass
@@ -461,6 +460,7 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
                      _depth: int = 0,
                      _index_cache: Optional[Dict] = None) -> MatchResult:
     score_mode = score_mode or default_score_mode()
+    _apply_debug_checks(cfg)
     if _index_cache is None:
         _index_cache = {}
     cand_cap = cand_cap or cfg.cand_cap
@@ -473,12 +473,9 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
                       cfg.gcmut_bias)
     tables = score_tables(scoring) if cfg.scores else None
     # overflowing reads rerun host-side below with x16 caps per recursion
-    # depth. Device-side whole-batch escalation (esc_factor > 1) is OFF:
-    # chr21-scale profiling showed the lax.cond branch firing on nearly
-    # every batch for ~2 reads in 8192, re-verifying all 8192 at 4x caps
-    # (187 ms vs 30 ms per step) — the one-off host rerun is ~20x cheaper
-    kw = _step_kwargs(cfg, cand_cap, survivor_cap, score_mode, tables,
-                      esc_factor=1)
+    # depth against a cached index (matchstep.scored_survivors docstring
+    # records why the earlier device-side whole-batch escalation lost)
+    kw = _step_kwargs(cfg, cand_cap, survivor_cap, score_mode, tables)
 
     result = MatchResult(
         st=np.zeros(numpat, np.int32), pos=np.zeros(numpat, np.int32),
@@ -672,6 +669,10 @@ class _HitAccumulator:
 
     def __init__(self) -> None:
         self.cols: List[Tuple[np.ndarray, ...]] = []
+        # steps whose TOTAL hit count exceeded the device buffer H — the
+        # whole batch gets rerun (compact_hits docstring); counted for
+        # -metrics so rerun thrash on repeat genomes is visible
+        self.batch_overflow_steps = 0
 
     def add_compact(self, ch, patids: np.ndarray, fi: int, n: int,
                     overflow_out: np.ndarray) -> None:
@@ -680,6 +681,8 @@ class _HitAccumulator:
         `count` may be a vector and row ids are slice-local)."""
         overflow_out[patids[ch.overflow[:n]]] = True
         counts = np.atleast_1d(np.asarray(ch.count))
+        self.batch_overflow_steps += int((counts > len(ch.pos)
+                                          // len(counts)).sum())
         ndp = len(counts)
         H = len(ch.pos) // ndp
         b_loc = len(ch.overflow) // ndp
@@ -961,7 +964,8 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
             last_metrics.clear()
             last_metrics.update({
                 "phase_s": {k: round(v, 3) for k, v in prog.phase_s.items()},
-                "overflow_rerun_reads": int(len(over_ids))})
+                "overflow_rerun_reads": int(len(over_ids)),
+                "batch_hit_overflow_steps": acc.batch_overflow_steps})
         if len(over_ids):
             if _depth >= 4:
                 raise RuntimeError(
@@ -986,7 +990,8 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
         last_metrics.clear()
         last_metrics.update({
             "phase_s": {k: round(v, 3) for k, v in prog.phase_s.items()},
-            "overflow_rerun_reads": int(len(over_ids))})
+            "overflow_rerun_reads": int(len(over_ids)),
+            "batch_hit_overflow_steps": acc.batch_overflow_steps})
     hits = acc.finalize()
     if len(over_ids):
         if _depth >= 4:

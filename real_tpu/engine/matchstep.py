@@ -769,80 +769,41 @@ def fold_unique(state: MatchState, surv: Survivors, fileid,
 # full step
 # ---------------------------------------------------------------------------
 
-def survivors_with_escalation(
+def scored_survivors(
         index_sig, index_pos, index_bb,
         words, nbits, ncum, frag_offsets,
         codes, quals, read_valid,
         *, tables, seedl: int, seedkmax: int, totalkmax: int,
         cand_cap: int, survivor_cap: int, scores: bool, score_mode: str,
         bsearch_steps: int, text_has_n: bool = True,
-        esc_factor: int = 1, esc_steps: int = 4,
         index_sig_hi=None) -> Survivors:
-    """Scored survivors of one (batch x shard), with optional DEVICE-side
-    cap escalation.
+    """Scored survivors of one (batch x shard).
 
-    When esc_factor > 1 and any read's candidate range overflowed the caps,
-    a lax.cond branch re-verifies the WHOLE batch against the still-resident
-    index with esc_factor-times caps (and esc_steps extra bisection steps),
-    and overflowed reads take the escalated lanes. This absorbs the common
-    single-level escalation with no host round-trip and no index rebuild —
-    the reference has no caps at all (std::equal_range is unbounded,
-    match.hpp:380-382); only reads that STILL overflow at the escalated
-    caps are reported for the driver's host-side rerun. Exactness: a
-    non-overflowing probe examines its full equal range, so escalating
-    only overflowed reads reproduces the uncapped result; lane padding
-    keeps survivors in reference merge order."""
+    Cap overflow is reported per read in Survivors.overflow; the driver
+    reruns ONLY the overflowed reads host-side with scaled caps against a
+    cached index (driver.run_match_unique _depth recursion) — measured
+    ~20x cheaper than the earlier device-side whole-batch lax.cond
+    escalation, which re-verified all 8192 reads at 4x caps for ~2
+    overflowed ones on nearly every chr21 batch (187 ms vs 30 ms/step).
+    The reference itself has no caps (std::equal_range is unbounded,
+    match.hpp:380-382)."""
     if quals is None:
         # FASTA reads: constant quality 30 (Pattern.hpp:42-45), materialized
         # on device so the host never uploads a quality matrix
         quals = jnp.full(codes.shape, 30, jnp.int8)
 
-    def run(K, S, steps):
-        surv, tw = find_survivors(
-            index_sig, index_pos, index_bb,
-            words, nbits, ncum, frag_offsets,
-            codes, quals, read_valid,
-            seedl=seedl, seedkmax=seedkmax, totalkmax=totalkmax,
-            cand_cap=K, survivor_cap=S,
-            bsearch_steps=steps, text_has_n=text_has_n,
-            index_sig_hi=index_sig_hi)
-        if scores:
-            surv = score_survivors(surv, tw, codes, quals, tables,
-                                   score_mode=score_mode)
-        return surv
-
-    surv = run(cand_cap, survivor_cap, bsearch_steps)
-    if esc_factor <= 1:
-        return surv
-
-    ES = survivor_cap * esc_factor
-
-    def pad_lanes(a):
-        return jnp.pad(a, ((0, 0), (0, ES - survivor_cap)))
-
-    def escalate(_):
-        return run(cand_cap * esc_factor, ES, bsearch_steps + esc_steps)
-
-    def no_escalate(_):
-        z = jnp.zeros(surv.valid.shape[:1] + (ES,), jnp.int32)
-        return Survivors(valid=z.astype(bool), inv=z.astype(bool), pos=z,
-                         frag=z, k=z, score=z.astype(jnp.float32),
-                         overflow=jnp.zeros_like(surv.overflow))
-
-    esc = lax.cond(surv.overflow.any(), escalate, no_escalate, None)
-    o = surv.overflow
-
-    def sel(a_esc, a_norm):
-        return jnp.where(o[:, None], a_esc, pad_lanes(a_norm))
-
-    return Survivors(
-        valid=sel(esc.valid, surv.valid),
-        inv=sel(esc.inv, surv.inv),
-        pos=sel(esc.pos, surv.pos),
-        frag=sel(esc.frag, surv.frag),
-        k=sel(esc.k, surv.k),
-        score=sel(esc.score, surv.score),
-        overflow=jnp.where(o, esc.overflow, False))
+    surv, tw = find_survivors(
+        index_sig, index_pos, index_bb,
+        words, nbits, ncum, frag_offsets,
+        codes, quals, read_valid,
+        seedl=seedl, seedkmax=seedkmax, totalkmax=totalkmax,
+        cand_cap=cand_cap, survivor_cap=survivor_cap,
+        bsearch_steps=bsearch_steps, text_has_n=text_has_n,
+        index_sig_hi=index_sig_hi)
+    if scores:
+        surv = score_survivors(surv, tw, codes, quals, tables,
+                               score_mode=score_mode)
+    return surv
 
 
 class CompactHits(NamedTuple):
@@ -878,22 +839,28 @@ def compact_hits(surv: Survivors, cap: int) -> CompactHits:
     H = 2B budget and force spurious whole-batch reruns)."""
     B, S = surv.valid.shape
     H = min(cap, B * S)
-    # lane i is a duplicate if an earlier valid lane j<i of the same
-    # read has the same (pos, strand) — identical alignment, identical
-    # record fields
-    same = ((surv.pos[:, :, None] == surv.pos[:, None, :])
-            & (surv.inv[:, :, None] == surv.inv[:, None, :])
-            & surv.valid[:, :, None] & surv.valid[:, None, :])
-    earlier = (jnp.arange(S)[None, :] < jnp.arange(S)[:, None])[None]
-    dup = (same & earlier).any(axis=2)
-    v = (surv.valid & ~dup).reshape(-1)
+    # lane i is a duplicate if another valid lane of the same read has
+    # the same (pos, strand) — identical alignment, identical record
+    # fields. Sort-adjacent dedup: per-row sort by (invalid, pos, inv)
+    # puts duplicates next to each other — O(S log S) lanes instead of
+    # the old [B, S, S] pairwise mask, which materialized B x 16k bools
+    # per step at the escalation ladder's S=128
+    invalid = (~surv.valid).astype(jnp.int32)
+    _, pos_s, inv_s, valid_s, k_s, frag_s, score_s = lax.sort(
+        (invalid, surv.pos, surv.inv.astype(jnp.int32),
+         surv.valid, surv.k, surv.frag, surv.score),
+        num_keys=3, dimension=1, is_stable=False)
+    prev_same = jnp.concatenate(
+        [jnp.zeros((B, 1), bool),
+         (pos_s[:, 1:] == pos_s[:, :-1]) & (inv_s[:, 1:] == inv_s[:, :-1])
+         & valid_s[:, 1:] & valid_s[:, :-1]], axis=1)
+    v = (valid_s & ~prev_same).reshape(-1)
     row = (jnp.arange(B * S, dtype=jnp.int32) // S)
-    m1 = (row << 4) | jnp.clip(surv.k.reshape(-1), 0, 15)
-    m2 = ((surv.frag.reshape(-1) << 1)
-          | surv.inv.reshape(-1).astype(jnp.int32))
+    m1 = (row << 4) | jnp.clip(k_s.reshape(-1), 0, 15)
+    m2 = (frag_s.reshape(-1) << 1) | inv_s.reshape(-1)
     key = (~v).astype(jnp.uint32)
     _, pos, m1, m2, score = lax.sort(
-        (key, surv.pos.reshape(-1), m1, m2, surv.score.reshape(-1)),
+        (key, pos_s.reshape(-1), m1, m2, score_s.reshape(-1)),
         num_keys=1, dimension=0, is_stable=True)
     count = v.sum().astype(jnp.int32)
     over = surv.overflow | (count > H)
@@ -905,8 +872,7 @@ def compact_hits(surv: Survivors, cap: int) -> CompactHits:
     jax.jit,
     static_argnames=("tables", "seedl", "seedkmax", "totalkmax", "cand_cap",
                      "survivor_cap", "scores", "score_mode", "matchall",
-                     "bsearch_steps", "text_has_n", "esc_factor",
-                     "esc_steps"))
+                     "bsearch_steps", "text_has_n"))
 def match_step(index_sig, index_pos, index_bb,
                words, nbits, ncum, frag_offsets,
                codes, quals, read_valid,
@@ -915,8 +881,7 @@ def match_step(index_sig, index_pos, index_bb,
                *, tables=None, seedl: int, seedkmax: int, totalkmax: int,
                cand_cap: int, survivor_cap: int,
                scores: bool, score_mode: str, matchall: bool,
-               bsearch_steps: int = 0, text_has_n: bool = True,
-               esc_factor: int = 1, esc_steps: int = 4):
+               bsearch_steps: int = 0, text_has_n: bool = True):
     """One (read batch x index shard) step. Returns (new_state, survivors).
 
     `tables` is the static ScoreTables constant set (scoring/scoring.py),
@@ -924,14 +889,14 @@ def match_step(index_sig, index_pos, index_bb,
     means FASTA constant quality 30, materialized on device.
     matchall=True skips the automaton (hits go to the host for dedup +
     printing, matchAllImplementation.cpp:99-185)."""
-    surv = survivors_with_escalation(
+    surv = scored_survivors(
         index_sig, index_pos, index_bb,
         words, nbits, ncum, frag_offsets,
         codes, quals, read_valid,
         tables=tables, seedl=seedl, seedkmax=seedkmax, totalkmax=totalkmax,
         cand_cap=cand_cap, survivor_cap=survivor_cap, scores=scores,
         score_mode=score_mode, bsearch_steps=bsearch_steps,
-        text_has_n=text_has_n, esc_factor=esc_factor, esc_steps=esc_steps,
+        text_has_n=text_has_n,
         index_sig_hi=index_sig_hi)
     if matchall:
         # hit capacity scales with the survivor cap: escalated reruns on

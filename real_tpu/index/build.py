@@ -80,7 +80,10 @@ def pick_bucket_bits(seedl: int, num_windows: int) -> int:
     and at the signature width. The reference's fixed 22 sample bits
     (getSampleBits.hpp:22-25) left chr21-scale buckets 11-deep."""
     bits = max(num_windows - 1, 1).bit_length()
-    return max(12, min(bits, 25, seedl))
+    # the 12-bit floor must not exceed the signature width (= seedl bits):
+    # for legal seedl 4/8 a floored width would make seedl - bucket_bits
+    # negative (an illegal uint32 shift in the narrow device build)
+    return min(max(12, min(bits, 25)), seedl)
 
 
 def _phase_words(words: jnp.ndarray, word_lo, nk: int, extra: int):
@@ -204,7 +207,8 @@ def build_lists_impl(words: jnp.ndarray, nb16: jnp.ndarray,
         skey, sp = lax.sort((keys, poss), num_keys=1, dimension=1,
                             is_stable=order_sentinels)
         shi = None
-        h = (skey >> jnp.uint32(sc.seedl - bucket_bits)).astype(jnp.int32)
+        h = (skey >> jnp.uint32(sc.bucket_shift_bits(bucket_bits))) \
+            .astype(jnp.int32)
 
     # bucket-begin tables (getLookupTable.hpp:26-51): one histogram over
     # the top bucket_bits of each list, sentinels excluded, exclusive

@@ -35,7 +35,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from real_tpu.engine.matchstep import (CompactHits, MatchState, Survivors,
                                        compact_hits, fold_unique,
-                                       survivors_with_escalation)
+                                       scored_survivors)
 from real_tpu.index.signatures import NUM_LISTS
 from real_tpu.text.packed import PackedText
 
@@ -92,8 +92,7 @@ def build_sharded_index(words, nb16, ncum16, n, start=0, *, seedl: int,
     jax.jit,
     static_argnames=("tables", "seedl", "seedkmax", "totalkmax", "cand_cap",
                      "survivor_cap", "scores", "score_mode", "mesh",
-                     "bsearch_steps", "text_has_n", "matchall",
-                     "esc_factor", "esc_steps"))
+                     "bsearch_steps", "text_has_n", "matchall"))
 def sharded_match_step(index_sig, index_pos, index_bb,
                        words, nbits, ncum, frag_offsets,     # replicated
                        codes, quals, read_valid,             # [B,...] dp
@@ -103,8 +102,7 @@ def sharded_match_step(index_sig, index_pos, index_bb,
                        totalkmax: int, cand_cap: int, survivor_cap: int,
                        scores: bool, score_mode: str, mesh: Mesh,
                        bsearch_steps: int = 0, text_has_n: bool = True,
-                       matchall: bool = False,
-                       esc_factor: int = 1, esc_steps: int = 4):
+                       matchall: bool = False):
     """One full step over the mesh: every (dp, shard) device verifies its
     read slice against its index shard; survivors are all-gathered over
     'shard' and folded in shard-major (= reference block-major) order.
@@ -116,14 +114,14 @@ def sharded_match_step(index_sig, index_pos, index_bb,
                    codes, quals, read_valid, state, fileid, epsilon):
         sig, pos, bb = sig[0], pos[0], bb[0]   # drop the shard dim
         sig_hi = sig_hi[0] if sig_hi is not None else None
-        surv = survivors_with_escalation(
+        surv = scored_survivors(
             sig, pos, bb, words, nbits, ncum, frag_offsets,
             codes, quals, read_valid,
             tables=tables, seedl=seedl, seedkmax=seedkmax,
             totalkmax=totalkmax, cand_cap=cand_cap,
             survivor_cap=survivor_cap, scores=scores, score_mode=score_mode,
             bsearch_steps=bsearch_steps, text_has_n=text_has_n,
-            esc_factor=esc_factor, esc_steps=esc_steps, index_sig_hi=sig_hi)
+            index_sig_hi=sig_hi)
         # gather survivors over the shard axis: [n_shard, B_loc, S]
         gathered = jax.tree.map(
             lambda a: lax.all_gather(a, "shard", axis=0, tiled=False),

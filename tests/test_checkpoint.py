@@ -142,6 +142,10 @@ def test_debug_checks_flag(inputs):
     cfg.debug_checks = True
     texts = driver.load_texts(cfg)
     res = driver.run_match_unique(cfg, rs, texts, score_mode="f64")
+    # the flag must arm jax_debug_nans on the unique path too
+    import jax
+    assert jax.config.jax_debug_nans
+    jax.config.update("jax_debug_nans", False)   # don't leak into others
 
     ref = driver.run_match_unique(_cfg(g, r), rs, texts, score_mode="f64")
     assert _result_tuple(res) == _result_tuple(ref)
