@@ -34,7 +34,13 @@ def main() -> int:
     g = os.path.join(d, "genome.fa")
     r = os.path.join(d, "reads.fa")
     cfg = RealConfig(textfilename=g, patternfilename=r, outputfilename="-",
-                     use_mesh=False)
+                     use_mesh=False, watchdog_s=0)   # CPU runs are slow
+    if nprocs > 1:
+        # de-replicated index build: shard ownership split by rank,
+        # exchanged through a per-run directory (unique per coordinator
+        # port so stale shards of earlier runs are never reused)
+        cfg.build_exchange_dir = os.path.join(
+            d, "exchange_" + coord.replace(":", "_").replace("/", "_"))
     rs = multihost.parse_host_slice(r, topo)
     texts = driver.load_texts(cfg)
     res = driver.run_match_unique(cfg, rs, texts)

@@ -37,6 +37,8 @@ def parse_args(argv: List[str]) -> RealConfig:
         "-ckpt": ("checkpoint", str), "-ckpt_every": ("checkpoint_every",
                                                       int),
         "-trace": ("trace", str), "-metrics": ("metrics_json", str),
+        "-watchdog": ("watchdog_s", int),
+        "-exchange": ("build_exchange_dir", str),
     }
     bool_flags = {"-u": "match_unique", "-q": "scores",
                   "-R": "rewritepatterns", "-g": "gaps", "-v": "verbose",

@@ -83,6 +83,19 @@ class RealConfig:
                                       # processed/numpat fractions,
                                       # matchUniqueImplementation.cpp:1292)
                                       # + per-phase timers
+    build_exchange_dir: str = ""      # -exchange <dir>: multi-process runs
+                                      # split index-shard OWNERSHIP by rank
+                                      # and exchange built shards through
+                                      # this shared directory, so the build
+                                      # is 1/P per process instead of
+                                      # replicated (parallel/multihost.py
+                                      # BuildExchange; SURVEY §5.8)
+    watchdog_s: int = 900             # -watchdog <s>: abort loudly if one
+                                      # device sync (drain/state fetch)
+                                      # exceeds this many seconds — a wedged
+                                      # dispatch otherwise hangs forever in
+                                      # np.asarray (SURVEY §5.3; r4 config 5
+                                      # hit exactly that). 0 disables.
 
     filter_mult: float = dataclasses.field(init=False, default=0.0)
 

@@ -53,17 +53,21 @@ MAX_FRAGMENTS_PER_FILE = 1 << 16   # UniqueMatchInfo fragmentbits
 last_metrics: Dict[str, object] = {}
 
 
-def _fetch_tree(tree):
+def _fetch_tree(tree, watchdog_s: float = 0, what: str = "device fetch"):
     """D2H fetch of a pytree: start ALL transfers async, then materialize.
     Synchronous per-buffer fetches pay a full round trip each on
     remote/tunneled devices (measured ~1s per buffer regardless of size);
-    async-first pipelines them into one wait."""
+    async-first pipelines them into one wait. With watchdog_s > 0 a
+    wedged dispatch aborts the process loudly instead of blocking forever
+    (utils/watchdog.py; SURVEY §5.3)."""
+    from real_tpu.utils.watchdog import watchdog
     def _start(a):
         if hasattr(a, "copy_to_host_async"):
             a.copy_to_host_async()
         return a
     jax.tree.map(_start, tree)
-    return jax.tree.map(np.asarray, tree)
+    with watchdog(watchdog_s, what):
+        return jax.tree.map(np.asarray, tree)
 
 
 def _apply_debug_checks(cfg) -> None:
@@ -173,10 +177,11 @@ def load_texts(cfg: RealConfig,
     return out
 
 
-def _build(cfg: RealConfig, text: PackedText, start: int, num_windows: int):
+def _build(cfg: RealConfig, text: PackedText, start: int, num_windows: int,
+           bucket_bits: int = 0):
     if cfg.device_index_build:
         return build_index(text, cfg.seedl, start=start,
-                           num_windows=num_windows)
+                           num_windows=num_windows, bucket_bits=bucket_bits)
     from real_tpu.index.hostbuild import build_index_host
     return build_index_host(text, cfg.seedl, start=start,
                             num_windows=num_windows)
@@ -336,7 +341,9 @@ class _Progress:
 def _foreach_shard_seq(cfg: RealConfig, texts: List[TextFile], cand_cap,
                        visit, prog: Optional["_Progress"] = None,
                        skip_units: int = 0, extra_steps: int = 0,
-                       index_cache: Optional[Dict] = None):
+                       index_cache: Optional[Dict] = None,
+                       reads: int = 0, extra_reserved: int = 0,
+                       exchange=None):
     """Sequential (1-device) outer loop: for each text file and index
     shard, call visit(fi, text, index, bsearch_steps). The first
     skip_units (file, shard) units are skipped entirely (checkpoint
@@ -362,13 +369,36 @@ def _foreach_shard_seq(cfg: RealConfig, texts: List[TextFile], cand_cap,
     inflight: List = []
     usable = [(fi, tf.packed) for fi, tf in enumerate(texts)
               if _text_usable(cfg, tf, verbose=True)]
-    all_text_bytes = sum(_text_bytes(t) for _, t in usable)
+    if exchange is not None:
+        # every rank must derive the SAME shard plan (units are owned by
+        # unit % nprocs): per-rank resident-read bytes differ slightly
+        # across slices, so they are excluded from the planner here
+        extra_reserved = 0
+    all_text_bytes = sum(_text_bytes(t) for _, t in usable) + extra_reserved
     per_text = []
     for fi, text in usable:
         num_windows = text.n - cfg.seedl + 1
         shards = _plan_shards(cfg, text, reserved_bytes=all_text_bytes)
         per_text.append((fi, text, _shard_bounds(num_windows, shards)))
     total_units = sum(len(b) for _, _, b in per_text)
+    if exchange is not None:
+        # de-replicated build (multihost.BuildExchange): publish every
+        # OWNED shard first so ranks build 1/P of the index in parallel,
+        # then the visit loop below loads each unit (own or remote)
+        from real_tpu.index.build import pick_bucket_bits
+        u = 0
+        with prog.phase("index_build"):
+            for fi, text, bounds in per_text:
+                for s0, e0 in bounds:
+                    u += 1
+                    if u <= skip_units or not exchange.owns(u - 1):
+                        continue
+                    bbits = (pick_bucket_bits(cfg.seedl, e0 - s0, reads)
+                             if cfg.device_index_build else 0)
+                    idx = _build(cfg, text, start=s0, num_windows=e0 - s0,
+                                 bucket_bits=bbits)
+                    exchange.save(u - 1, idx)
+                    del idx
     for fi, text, bounds in per_text:
         for si, (s, e) in enumerate(bounds):
             unit += 1
@@ -380,9 +410,16 @@ def _foreach_shard_seq(cfg: RealConfig, texts: List[TextFile], cand_cap,
             cached = index_cache.get(ck) if index_cache is not None else None
             if cached is not None:
                 index = cached
+            elif exchange is not None:
+                with prog.phase("index_load"):
+                    index = exchange.load(unit - 1)
             else:
+                from real_tpu.index.build import pick_bucket_bits
+                bbits = (pick_bucket_bits(cfg.seedl, e - s, reads)
+                         if cfg.device_index_build else 0)
                 with prog.phase("index_build"):
-                    index = _build(cfg, text, start=s, num_windows=e - s)
+                    index = _build(cfg, text, start=s, num_windows=e - s,
+                                   bucket_bits=bbits)
                 if index_cache is not None and total_units == 1:
                     index_cache[ck] = index
             steps = _bsearch_steps_static(e - s, cand_cap,
@@ -398,7 +435,8 @@ def _foreach_shard_seq(cfg: RealConfig, texts: List[TextFile], cand_cap,
 
 def _foreach_shard_mesh(cfg: RealConfig, texts: List[TextFile], cand_cap,
                         visit, prog: Optional["_Progress"] = None,
-                        skip_units: int = 0, extra_steps: int = 0):
+                        skip_units: int = 0, extra_steps: int = 0,
+                        reads: int = 0, extra_reserved: int = 0):
     """Mesh outer loop: for each text file, build n_shard index shards at
     once per pass and call visit(fi, text, mesh, (sig_hi, sig, pos, bb),
     bsearch_steps). Sync-free dispatch with a 2-pass in-flight bound,
@@ -412,7 +450,8 @@ def _foreach_shard_mesh(cfg: RealConfig, texts: List[TextFile], cand_cap,
     unit = 0
     inflight: List = []
     all_text_bytes = sum(_text_bytes(tf.packed) for tf in texts
-                         if _text_usable(cfg, tf, verbose=False))
+                         if _text_usable(cfg, tf, verbose=False)) \
+        + extra_reserved
     for fi, tf in enumerate(texts):
         if not _text_usable(cfg, tf, verbose=True):
             continue
@@ -433,7 +472,7 @@ def _foreach_shard_mesh(cfg: RealConfig, texts: List[TextFile], cand_cap,
                 continue
             while len(inflight) >= 2:
                 jax.block_until_ready(inflight.pop(0))
-            bbits = pick_bucket_bits(cfg.seedl, per_shard)
+            bbits = pick_bucket_bits(cfg.seedl, per_shard, reads)
             with prog.phase("index_build"):
                 arrays = build_sharded_index(
                     text.words, text.nb16, text.ncum16, jnp.int32(text.n),
@@ -489,6 +528,7 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
                           row_align=n_dev if use_mesh else 1,
                           max_rows=512 if _depth else 0)
     plans = source.plans
+    n_stream = sum(p.rows for p in plans)   # reads probing each shard
     states: Dict[int, MatchState] = {
         bi: initial_state(p.rows) for bi, p in enumerate(plans)}
     overflow = np.zeros(numpat, bool)
@@ -527,7 +567,8 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
         host_states = _fetch_tree([
             {f: getattr(states[bi], f)
              for f in ("st", "pos", "frag", "fileid", "errs", "score")}
-            for bi in range(len(plans))])
+            for bi in range(len(plans))],
+            watchdog_s=cfg.watchdog_s, what="checkpoint state fetch")
         host_over = [
             np.asarray(functools.reduce(jnp.logical_or, overflows[bi]))
             if bi in overflows else np.zeros(plans[bi].rows, bool)
@@ -566,7 +607,9 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
             checkpoint_unit()
             return states[len(plans) - 1].st if plans else None
 
-        _foreach_shard_mesh(cfg, texts, cand_cap, visit, prog, skip_units)
+        _foreach_shard_mesh(cfg, texts, cand_cap, visit, prog, skip_units,
+                            reads=n_stream,
+                            extra_reserved=source.resident_device_bytes)
     else:
         def visit(fi, text, index, steps):
             done_reads[0] = 0
@@ -586,7 +629,9 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
             return states[len(plans) - 1].st if plans else None
 
         _foreach_shard_seq(cfg, texts, cand_cap, visit, prog, skip_units,
-                           index_cache=_index_cache)
+                           index_cache=_index_cache, reads=n_stream,
+                           extra_reserved=source.resident_device_bytes,
+                           exchange=_make_exchange(cfg, _depth))
 
     # one synchronization for everything: start every per-batch fetch
     # async, then materialize (a device-side concat looked like "one
@@ -601,7 +646,8 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
         # match phase completes inside this fetch — "drain" is the real
         # device-execution tail, "match" above only dispatch overhead
         st, over = _fetch_tree(
-            ([states[bi] for bi in range(len(plans))], allover))
+            ([states[bi] for bi in range(len(plans))], allover),
+            watchdog_s=cfg.watchdog_s, what="matchUnique result drain")
     collect_cm = prog.phase("collect")
     collect_cm.__enter__()
     for bi, p in enumerate(plans):
@@ -642,6 +688,21 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
     return result
 
 
+def _make_exchange(cfg: RealConfig, depth: int):
+    """BuildExchange when -exchange <dir> is set in a multi-process job
+    (top-level pass only; overflow reruns rebuild their tiny narrow
+    shards locally)."""
+    if not cfg.build_exchange_dir or depth:
+        return None
+    import jax as _jax
+    if _jax.process_count() <= 1:
+        return None
+    from real_tpu.parallel.multihost import BuildExchange, HostTopology
+    return BuildExchange(cfg.build_exchange_dir,
+                         HostTopology(_jax.process_index(),
+                                      _jax.process_count()))
+
+
 def _make_source(cfg: RealConfig, rs: reads_io.ReadSet,
                  patid_filter: Optional[np.ndarray],
                  row_align: int = 1,
@@ -651,7 +712,11 @@ def _make_source(cfg: RealConfig, rs: reads_io.ReadSet,
     else a streaming prefetch pipeline (io/pipeline.py)."""
     budget = cfg.resident_reads_bytes
     if budget <= 0:
-        budget = int(0.05 * plan.hbm_bytes_per_device())
+        # packed reads are ~28 B per 100bp read (2-bit words + valid), so
+        # 12% of HBM holds ~70M reads resident — residency removes the
+        # per-pass re-upload entirely (the tunneled v5e link measured
+        # ~40 MB/s; config 4's u8 re-stream was ~90 s per pass in r4)
+        budget = int(0.12 * plan.hbm_bytes_per_device())
     return pipeline.make_source(
         rs, cfg.batch_size, cfg.seedl, patid_filter, row_align,
         warn=lambda m: print(m, file=sys.stderr),
@@ -846,6 +911,7 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
     source = _make_source(cfg, rs, patid_filter,
                           row_align=n_dev if use_mesh else 1,
                           max_rows=512 if _depth else 0)
+    n_stream = sum(p.rows for p in source.plans)
     overflow = np.zeros(rs.num_reads, bool)
     dummy_states = {bi: initial_state(p.rows)
                     for bi, p in enumerate(source.plans)}
@@ -871,9 +937,11 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
                      if hasattr(a, "copy_to_host_async") else None, tree)
 
     def drain(to_len: int) -> None:
+        from real_tpu.utils.watchdog import watchdog
         while len(pending) > to_len:
             ch, patids, fi, n = pending.pop(0)
-            hs = jax.tree.map(np.asarray, ch)
+            with watchdog(cfg.watchdog_s, "matchAll hit drain"):
+                hs = jax.tree.map(np.asarray, ch)
             acc.add_compact(hs, patids, fi, n, overflow)
 
     def enqueue(surv, b, fi, bi) -> None:
@@ -931,7 +999,9 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
             checkpoint_unit()
             return seq.pos if seq is not None else None
 
-        _foreach_shard_mesh(cfg, texts, cand_cap, visit, prog, skip_units)
+        _foreach_shard_mesh(cfg, texts, cand_cap, visit, prog, skip_units,
+                            reads=n_stream,
+                            extra_reserved=source.resident_device_bytes)
     else:
         def visit(fi, text, index, steps):
             done_reads[0] = 0
@@ -950,7 +1020,9 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
             return surv.pos if surv is not None else None
 
         _foreach_shard_seq(cfg, texts, cand_cap, visit, prog, skip_units,
-                           index_cache=_index_cache)
+                           index_cache=_index_cache, reads=n_stream,
+                           extra_reserved=source.resident_device_bytes,
+                           exchange=_make_exchange(cfg, _depth))
 
     with prog.phase("drain"):
         drain(0)

