@@ -528,7 +528,12 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
                           row_align=n_dev if use_mesh else 1,
                           max_rows=512 if _depth else 0)
     plans = source.plans
-    n_stream = sum(p.rows for p in plans)   # reads probing each shard
+    # bucket-width hint: the FULL read-set size, not the filtered stream
+    # — warmup prefixes and overflow reruns must compile the SAME build
+    # and step variants as the production run (a 32k warmup that picked
+    # a narrower table pushed ~20 s of fresh compiles into the timed
+    # chr21 run); genuinely small -p files still get narrow tables
+    n_stream = rs.num_reads
     states: Dict[int, MatchState] = {
         bi: initial_state(p.rows) for bi, p in enumerate(plans)}
     overflow = np.zeros(numpat, bool)
@@ -911,7 +916,7 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
     source = _make_source(cfg, rs, patid_filter,
                           row_align=n_dev if use_mesh else 1,
                           max_rows=512 if _depth else 0)
-    n_stream = sum(p.rows for p in source.plans)
+    n_stream = rs.num_reads     # see run_match_unique: variant stability
     overflow = np.zeros(rs.num_reads, bool)
     dummy_states = {bi: initial_state(p.rows)
                     for bi, p in enumerate(source.plans)}
