@@ -64,6 +64,7 @@ from jax import lax
 
 from real_tpu.index.signatures import NUM_LISTS, SigConfig, read_segments, \
     read_segments_rc
+from real_tpu.ops.pallas_gather import gather_word_windows, use_pallas_gather
 from real_tpu.text.packed import is_dontcare_free, pair_mismatch_count
 
 POS_SENTINEL = 0x7FFFFFFF
@@ -183,11 +184,22 @@ def _extract_windows(words: jnp.ndarray, pos: jnp.ndarray, nw: int):
     Index math avoids the doubled-position intermediate: pos << 1
     overflows int32 for positions >= 2^30, which silently corrupted
     every window beyond base 1.07G of a >2 Gbp split text (config 5's
-    first parity failure)."""
+    first parity failure).
+
+    On TPU the (nw+1)-word fetch runs as the Pallas row-DMA kernel
+    (ops/pallas_gather.py, ~2.4 vs ~9 ns/gathered element for XLA's
+    gather). The kernel zero-fills words past the table end where XLA's
+    mode="clip" repeats words[-1]; the difference is invisible: those
+    bits lie beyond pos+patl, which the per-word tail masks exclude
+    from the popcounts and scoring never reads (fragment containment
+    caps every valid window at pos+patl <= text end)."""
     p32 = pos.astype(jnp.int32)
     idx = p32 >> 4
     sh = ((p32 & 15) << 1).astype(jnp.uint32)
-    w = [jnp.take(words, idx + i, mode="clip") for i in range(nw + 1)]
+    if use_pallas_gather(int(np.prod(idx.shape)), nw + 1):
+        w = gather_word_windows(words, idx, nw + 1)
+    else:
+        w = [jnp.take(words, idx + i, mode="clip") for i in range(nw + 1)]
     out = []
     for i in range(nw):
         hi = w[i] << sh
