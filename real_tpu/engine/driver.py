@@ -233,18 +233,29 @@ def _text_bytes(text: PackedText) -> int:
 
 
 def _plan_shards(cfg: RealConfig, text: PackedText,
-                 reserved_bytes: int = 0) -> int:
+                 reserved_bytes: int = 0,
+                 streaming: bool = False) -> "plan.StreamShardPlan":
     """-shards override or the -f fracmem HBM planner. reserved_bytes
     must cover ALL device-resident texts, not just this one: split
     oversized files keep every sub-text uploaded for the whole run, and
     planning each against only its own footprint OOM'd the 3.1 Gbp
-    config at the file transition."""
+    config at the file transition.
+
+    streaming=True (reads re-streamed every pass) switches to the
+    pass-minimizing serial-build plan (plan_index_shards_streaming):
+    bigger shards built without unit pipelining, wider bucket tables."""
     if cfg.index_shards > 0:
-        return cfg.index_shards
+        return plan.StreamShardPlan(shards=cfg.index_shards,
+                                    serial_build=False, bucket_bits_cap=25)
     num_windows = max(text.n - cfg.seedl + 1, 0)
     reserved = reserved_bytes or _text_bytes(text)
-    return plan.plan_index_shards(num_windows, cfg.fracmem,
-                                  reserved_bytes=reserved)
+    if streaming:
+        return plan.plan_index_shards_streaming(num_windows, cfg.fracmem,
+                                                reserved_bytes=reserved)
+    return plan.StreamShardPlan(
+        shards=plan.plan_index_shards(num_windows, cfg.fracmem,
+                                      reserved_bytes=reserved),
+        serial_build=False, bucket_bits_cap=25)
 
 
 def _step_kwargs(cfg, cand_cap, survivor_cap, score_mode, tables):
@@ -343,7 +354,7 @@ def _foreach_shard_seq(cfg: RealConfig, texts: List[TextFile], cand_cap,
                        skip_units: int = 0, extra_steps: int = 0,
                        index_cache: Optional[Dict] = None,
                        reads: int = 0, extra_reserved: int = 0,
-                       exchange=None):
+                       exchange=None, streaming: bool = False):
     """Sequential (1-device) outer loop: for each text file and index
     shard, call visit(fi, text, index, bsearch_steps). The first
     skip_units (file, shard) units are skipped entirely (checkpoint
@@ -378,9 +389,11 @@ def _foreach_shard_seq(cfg: RealConfig, texts: List[TextFile], cand_cap,
     per_text = []
     for fi, text in usable:
         num_windows = text.n - cfg.seedl + 1
-        shards = _plan_shards(cfg, text, reserved_bytes=all_text_bytes)
-        per_text.append((fi, text, _shard_bounds(num_windows, shards)))
-    total_units = sum(len(b) for _, _, b in per_text)
+        splan = _plan_shards(cfg, text, reserved_bytes=all_text_bytes,
+                             streaming=streaming)
+        per_text.append((fi, text, _shard_bounds(num_windows, splan.shards),
+                         splan))
+    total_units = sum(len(b) for _, _, b, _ in per_text)
     if exchange is not None:
         # de-replicated build (multihost.BuildExchange): publish every
         # OWNED shard first so ranks build 1/P of the index in parallel,
@@ -388,24 +401,34 @@ def _foreach_shard_seq(cfg: RealConfig, texts: List[TextFile], cand_cap,
         from real_tpu.index.build import pick_bucket_bits
         u = 0
         with prog.phase("index_build"):
-            for fi, text, bounds in per_text:
+            for fi, text, bounds, splan in per_text:
                 for s0, e0 in bounds:
                     u += 1
                     if u <= skip_units or not exchange.owns(u - 1):
                         continue
-                    bbits = (pick_bucket_bits(cfg.seedl, e0 - s0, reads)
+                    bbits = (pick_bucket_bits(cfg.seedl, e0 - s0, reads,
+                                              cap=splan.bucket_bits_cap)
                              if cfg.device_index_build else 0)
                     idx = _build(cfg, text, start=s0, num_windows=e0 - s0,
                                  bucket_bits=bbits)
                     exchange.save(u - 1, idx)
                     del idx
-    for fi, text, bounds in per_text:
+    index = None
+    for fi, text, bounds, splan in per_text:
         for si, (s, e) in enumerate(bounds):
             unit += 1
             if unit <= skip_units:
                 continue
-            while len(inflight) >= 2:
+            # serial_build (streaming XXL shards): sync ALL queued work
+            # and free the previous shard's lists BEFORE the next build
+            # dispatches — peak HBM is then lists x2.2 (sort in+out)
+            # instead of the pipelined x4, which is what lets the
+            # planner halve the pass count (plan_index_shards_streaming)
+            depth = 1 if splan.serial_build else 2
+            while len(inflight) >= depth:
                 jax.block_until_ready(inflight.pop(0))
+            if splan.serial_build:
+                index = None
             ck = (fi, s, e, cfg.seedl)
             cached = index_cache.get(ck) if index_cache is not None else None
             if cached is not None:
@@ -415,7 +438,8 @@ def _foreach_shard_seq(cfg: RealConfig, texts: List[TextFile], cand_cap,
                     index = exchange.load(unit - 1)
             else:
                 from real_tpu.index.build import pick_bucket_bits
-                bbits = (pick_bucket_bits(cfg.seedl, e - s, reads)
+                bbits = (pick_bucket_bits(cfg.seedl, e - s, reads,
+                                          cap=splan.bucket_bits_cap)
                          if cfg.device_index_build else 0)
                 with prog.phase("index_build"):
                     index = _build(cfg, text, start=s, num_windows=e - s,
@@ -458,7 +482,7 @@ def _foreach_shard_mesh(cfg: RealConfig, texts: List[TextFile], cand_cap,
         text = tf.packed
         num_windows = text.n - cfg.seedl + 1
         total_shards = _plan_shards(cfg, text,
-                                    reserved_bytes=all_text_bytes)
+                                    reserved_bytes=all_text_bytes).shards
         n_dp, n_shard = plan.choose_mesh_shape(n_dev, total_shards)
         mesh = make_mesh(n_dp, n_shard)
         rounds = -(-total_shards // n_shard)
@@ -636,7 +660,8 @@ def run_match_unique(cfg: RealConfig, rs: reads_io.ReadSet,
         _foreach_shard_seq(cfg, texts, cand_cap, visit, prog, skip_units,
                            index_cache=_index_cache, reads=n_stream,
                            extra_reserved=source.resident_device_bytes,
-                           exchange=_make_exchange(cfg, _depth))
+                           exchange=_make_exchange(cfg, _depth),
+                           streaming=not source.resident)
 
     # one synchronization for everything: start every per-batch fetch
     # async, then materialize (a device-side concat looked like "one
@@ -1027,7 +1052,8 @@ def run_match_all(cfg: RealConfig, rs: reads_io.ReadSet,
         _foreach_shard_seq(cfg, texts, cand_cap, visit, prog, skip_units,
                            index_cache=_index_cache, reads=n_stream,
                            extra_reserved=source.resident_device_bytes,
-                           exchange=_make_exchange(cfg, _depth))
+                           exchange=_make_exchange(cfg, _depth),
+                           streaming=not source.resident)
 
     with prog.phase("drain"):
         drain(0)

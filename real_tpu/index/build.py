@@ -73,7 +73,8 @@ class SignatureIndex:
     sig_hi: Optional[jnp.ndarray] = None
 
 
-def pick_bucket_bits(seedl: int, num_windows: int, reads: int = 0) -> int:
+def pick_bucket_bits(seedl: int, num_windows: int, reads: int = 0,
+                     cap: int = 25) -> int:
     """Bucket-table width for a shard.
 
     With reads == 0 (or the wide signature path): the occupancy-~1 rule —
@@ -99,8 +100,11 @@ def pick_bucket_bits(seedl: int, num_windows: int, reads: int = 0) -> int:
     bits = max(num_windows - 1, 1).bit_length()
     # the 12-bit floor must not exceed the signature width (= seedl bits):
     # for legal seedl 4/8 a floored width would make seedl - bucket_bits
-    # negative (an illegal uint32 shift in the narrow device build)
-    occ1 = min(max(12, min(bits, 25)), seedl)
+    # negative (an illegal uint32 shift in the narrow device build).
+    # cap defaults to 25 (two resident tables, 805 MB each at the cap);
+    # the streaming XXL-shard plan raises it (parallel/plan.py
+    # plan_index_shards_streaming) so doubled shards stay bisection-free
+    occ1 = min(max(12, min(bits, cap)), seedl)
     if reads <= 0 or seedl > 32:
         return occ1
     M = max(num_windows, 2)
@@ -119,7 +123,7 @@ def pick_bucket_bits(seedl: int, num_windows: int, reads: int = 0) -> int:
         steps = -(-steps // 4) * 4          # driver rounds to multiple of 4
         return reads * 12 * 2 * steps * G
 
-    hi_b = min(max(12, min(bits, 25)), seedl)
+    hi_b = min(max(12, min(bits, cap)), seedl)
     lo_b = min(12, hi_b)
     best = min(range(lo_b, hi_b + 1),
                key=lambda b: (table_cost(b) + match_cost(b), -b))

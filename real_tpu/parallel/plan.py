@@ -17,6 +17,7 @@ Index cost model per window (index/build.py SignatureIndex):
 
 from __future__ import annotations
 
+import dataclasses
 import math
 import sys
 
@@ -89,6 +90,89 @@ def plan_index_shards(num_windows: int, fracmem: float,
         return shards * (2 + (16 if occ > 2.0 else 8))
 
     return nobis if gathers(nobis) < gathers(base) else base
+
+
+# Serialized (non-pipelined) build peak per shard: lax.sort's input and
+# output lists coexist (2x), previous unit's lists already freed, plus
+# margin for the bucket-table histogram transient
+SERIAL_BUILD_FACTOR = 2.2
+# one bucket table resident at a time in serial mode; cap at 2^27
+# entries (6 * 2^27 * 4 B = 3.2 GB) so the table never eats the budget
+XXL_BITS_FLOOR, XXL_BITS_CAP = 25, 27
+
+
+@dataclasses.dataclass
+class StreamShardPlan:
+    shards: int
+    serial_build: bool       # driver must NOT pipeline units (peak = 2.2x)
+    bucket_bits_cap: int     # pick_bucket_bits cap for these shards
+
+
+def plan_index_shards_streaming(num_windows: int, fracmem: float,
+                                reserved_bytes: int = 0,
+                                hbm_bytes: int | None = None
+                                ) -> StreamShardPlan:
+    """Shard plan when every pass RE-STREAMS the read file (reads exceed
+    the resident budget — BASELINE config 4): a pass costs a full
+    re-parse + upload of all reads (~90-125 s at 50M reads), so the
+    planner minimizes PASSES, not per-pass gathers:
+
+    * the build is serialized (match unit u fully, free its lists, then
+      build u+1) so the peak is SERIAL_BUILD_FACTOR = 2.2x lists instead
+      of the pipelined 4x — each shard holds ~2x the windows and the
+      pass count drops accordingly (140M windows: 3 passes -> 2);
+    * the bucket-table width cap rises from 25 to up to 27 bits so the
+      bigger shards keep occupancy <= 2 and stay on the bisection-free
+      lane path (a 2^26 table is 1.6 GB but only ONE is resident in
+      serial mode); the cap stops where the table would exceed a third
+      of the budget.
+
+    The resident-reads case keeps plan_index_shards: there a pass is
+    nearly free and build/match pipelining (2 units in flight) is worth
+    the 4x transient. Reference analogue of the pass loop either way:
+    matchUniqueImplementation.cpp:1253-1297."""
+    hbm = hbm_bytes if hbm_bytes is not None else hbm_bytes_per_device()
+    budget = fracmem * hbm - reserved_bytes
+    if budget <= 0:
+        budget = 0.25 * hbm
+    pipe_plan = StreamShardPlan(
+        shards=plan_index_shards(num_windows, fracmem,
+                                 reserved_bytes=reserved_bytes,
+                                 hbm_bytes=hbm_bytes),
+        serial_build=False, bucket_bits_cap=25)
+    # effective table width never exceeds what the window count can use
+    # (pick_bucket_bits clamps to the window bit-length), so the table
+    # cost model must clamp too or it overcharges small shards 64x
+    wbits = max(num_windows - 1, 1).bit_length()
+
+    def table_bytes(cap: int) -> int:
+        return 6 * ((1 << min(cap, max(wbits, 12))) + 1) * 4
+
+    bits_cap = XXL_BITS_FLOOR
+    while bits_cap < XXL_BITS_CAP \
+            and table_bytes(bits_cap + 1) < budget / 3:
+        bits_cap += 1
+    if budget <= 2 * table_bytes(bits_cap):
+        # device too small for even one table + lists: the serial math
+        # below would divide by a non-positive residual
+        return pipe_plan
+    per_shard = BYTES_PER_WINDOW * SERIAL_BUILD_FACTOR
+    serial = max(1, math.ceil(num_windows * per_shard
+                              / (budget - table_bytes(bits_cap))))
+    # shrink the cap to the narrowest width that still keeps the planned
+    # shards' occupancy <= 2 (a 2^27 table is 3.2 GB; don't pay for it
+    # when 2^26 already makes the shard bisection-free), then replan —
+    # the smaller table can only allow fewer/equal shards
+    need = max(-(-num_windows // serial) // 2, 1)
+    bits_cap = min(bits_cap, max(XXL_BITS_FLOOR,
+                                 (need - 1).bit_length()))
+    serial = max(1, math.ceil(num_windows * per_shard
+                              / (budget - table_bytes(bits_cap))))
+    if serial >= pipe_plan.shards:
+        # memory never binds (small genome): keep the pipelined plan
+        return pipe_plan
+    return StreamShardPlan(shards=serial, serial_build=True,
+                           bucket_bits_cap=bits_cap)
 
 
 def choose_mesh_shape(n_devices: int, total_shards: int):
