@@ -234,24 +234,39 @@ def _text_bytes(text: PackedText) -> int:
 
 def _plan_shards(cfg: RealConfig, text: PackedText,
                  reserved_bytes: int = 0,
-                 streaming: bool = False) -> "plan.StreamShardPlan":
+                 streaming: bool = False,
+                 reads: int = 0) -> "plan.StreamShardPlan":
     """-shards override or the -f fracmem HBM planner. reserved_bytes
     must cover ALL device-resident texts, not just this one: split
     oversized files keep every sub-text uploaded for the whole run, and
     planning each against only its own footprint OOM'd the 3.1 Gbp
     config at the file transition.
 
-    streaming=True (reads re-streamed every pass) switches to the
-    pass-minimizing serial-build plan (plan_index_shards_streaming):
-    bigger shards built without unit pipelining, wider bucket tables."""
+    The pass-minimizing serial-build plan (plan_index_shards_streaming:
+    bigger shards built without unit pipelining, wider bucket tables)
+    applies when passes are expensive relative to builds — always when
+    reads re-stream per pass (streaming=True), and for resident reads
+    when the estimated per-pass match time dwarfs a serial shard's
+    build time (config 4: 50M resident reads ~100 s/pass vs ~6 s/build
+    -> 2 serial passes; config 5: 2M reads ~4 s/pass vs ~6 s/build ->
+    keep the 2-in-flight pipelined plan whose build/match overlap wins)."""
     if cfg.index_shards > 0:
         return plan.StreamShardPlan(shards=cfg.index_shards,
                                     serial_build=False, bucket_bits_cap=25)
     num_windows = max(text.n - cfg.seedl + 1, 0)
     reserved = reserved_bytes or _text_bytes(text)
-    if streaming:
-        return plan.plan_index_shards_streaming(num_windows, cfg.fracmem,
-                                                reserved_bytes=reserved)
+    splan = plan.plan_index_shards_streaming(num_windows, cfg.fracmem,
+                                             reserved_bytes=reserved)
+    if splan.serial_build and not streaming:
+        match_pass_s = reads * plan.MATCH_S_PER_READ_PASS
+        build_shard_s = (num_windows / max(splan.shards, 1)) \
+            * plan.BUILD_S_PER_WINDOW
+        if match_pass_s <= 3 * build_shard_s:
+            splan = None
+    elif not splan.serial_build:
+        splan = None
+    if splan is not None:
+        return splan
     return plan.StreamShardPlan(
         shards=plan.plan_index_shards(num_windows, cfg.fracmem,
                                       reserved_bytes=reserved),
@@ -390,7 +405,7 @@ def _foreach_shard_seq(cfg: RealConfig, texts: List[TextFile], cand_cap,
     for fi, text in usable:
         num_windows = text.n - cfg.seedl + 1
         splan = _plan_shards(cfg, text, reserved_bytes=all_text_bytes,
-                             streaming=streaming)
+                             streaming=streaming, reads=reads)
         per_text.append((fi, text, _shard_bounds(num_windows, splan.shards),
                          splan))
     total_units = sum(len(b) for _, _, b, _ in per_text)

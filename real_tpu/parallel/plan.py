@@ -108,6 +108,13 @@ class StreamShardPlan:
     bucket_bits_cap: int     # pick_bucket_bits cap for these shards
 
 
+# rough per-pass cost constants for the serial-vs-pipelined decision
+# (r5 v5e measurements: ~58 ms per 32k-read step; chr21 one-shard build
+# 4.08 s / 46.7M windows ~ 87 ns/window incl. the histogram)
+MATCH_S_PER_READ_PASS = 2e-6
+BUILD_S_PER_WINDOW = 80e-9
+
+
 def plan_index_shards_streaming(num_windows: int, fracmem: float,
                                 reserved_bytes: int = 0,
                                 hbm_bytes: int | None = None
