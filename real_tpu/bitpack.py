@@ -39,16 +39,21 @@ def pack_2bit(codes: np.ndarray, pad_words: int = 2) -> np.ndarray:
 
 def pack_rows_2bit(codes: np.ndarray) -> np.ndarray:
     """Pack a batch of rows [B, L] of base codes into [B, ceil(L/16)] uint32
-    words (MSB-first per word, rows zero padded)."""
-    codes = np.asarray(codes, dtype=np.uint32) & 3
+    words (MSB-first per word, rows zero padded).
+
+    Dyadic uint8 folding per row + a big-endian u32 view, like pack_2bit:
+    the earlier [B, nw, 16] uint32 broadcast-shift reduction materialized
+    ~13 bytes of temporaries per base — at 50M x 100bp (config 4's
+    resident upload) that was ~65 GB of allocation traffic and several
+    hundred seconds; this form peaks at ~1.3 uint8 bytes per base."""
+    codes = np.asarray(codes, dtype=np.uint8)
     b, l = codes.shape
     nw = (l + BASES_PER_WORD - 1) // BASES_PER_WORD
-    padded = np.zeros((b, nw * BASES_PER_WORD), dtype=np.uint32)
-    padded[:, :l] = codes
-    shifts = (2 * (BASES_PER_WORD - 1 - np.arange(BASES_PER_WORD,
-                                                  dtype=np.uint32)))
-    return (padded.reshape(b, nw, BASES_PER_WORD) << shifts).sum(
-        axis=2, dtype=np.uint32)
+    padded = np.zeros((b, nw * BASES_PER_WORD), dtype=np.uint8)
+    np.bitwise_and(codes, 3, out=padded[:, :l])
+    s1 = (padded[:, 0::2] << np.uint8(2)) | padded[:, 1::2]
+    s2 = (s1[:, 0::2] << np.uint8(4)) | s1[:, 1::2]   # one byte = 4 bases
+    return np.ascontiguousarray(s2).view(">u4").astype(np.uint32)
 
 
 def pack_bitmap(bits: np.ndarray, pad_words: int = 2) -> np.ndarray:

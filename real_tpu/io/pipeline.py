@@ -133,20 +133,44 @@ def make_plans(rs: reads_io.ReadSet, batch_size: int, seedl: int,
     return plans
 
 
-def _pack_host(rs: reads_io.ReadSet, plan: BatchPlan):
+def _pack_host(rs: reads_io.ReadSet, plan: BatchPlan,
+               chunk: int = 1 << 21):
     """Pack one plan's reads to the fixed-shape PACKED host arrays:
-    (codes_words u32 [rows, KW], quals i8 | None, valid bool)."""
-    codes_all, quals_all = rs.dense_batch(plan.patids)
+    (codes_words u32 [rows, KW], quals i8 | None, valid bool).
+
+    Processed in bounded row chunks straight into preallocated outputs:
+    the resident-upload path hands this the WHOLE 50M-read bucket (one
+    plan), and the earlier whole-bucket form (a full uint8 copy + the
+    uint32 broadcast pack) allocated tens of GB and took ~10 minutes of
+    the config-4 wall. The native row packer (readpack.cpp
+    pack_rows_2bit) does the shift work when available; codes 4 (N) are
+    packed as their low bits and masked via `valid`, like the reference
+    (AutoTextArray.hpp:27-43)."""
     n = len(plan.patids)
-    codes = np.zeros((plan.rows, plan.patl), np.uint8)
-    codes[:n] = codes_all & 3       # codes 4 (N) masked via valid
+    kw = (plan.patl + 15) // 16
+    words = np.zeros((plan.rows, kw), np.uint32)
     valid = np.zeros(plan.rows, bool)
-    valid[:n] = (codes_all <= 3).all(axis=1)
-    quals = None
-    if quals_all is not None:
-        quals = np.full((plan.rows, plan.patl), 30, np.int8)
-        quals[:n] = quals_all
-    return bitpack.pack_rows_2bit(codes), quals, valid
+    has_q = rs.quals_flat is not None
+    quals = np.full((plan.rows, plan.patl), 30, np.int8) if has_q else None
+    from real_tpu import native
+    lib = native.get_lib()
+    import ctypes
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        codes_all, quals_all = rs.dense_batch(plan.patids[lo:hi])
+        valid[lo:hi] = (codes_all <= 3).all(axis=1)
+        if lib is not None:
+            c = np.ascontiguousarray(codes_all)
+            out = words[lo:hi]
+            lib.pack_rows_2bit(c.ctypes.data_as(u8p), hi - lo,
+                               plan.patl, out.ctypes.data_as(u32p), kw)
+        else:
+            words[lo:hi] = bitpack.pack_rows_2bit(codes_all)
+        if has_q:
+            quals[lo:hi] = quals_all
+    return words, quals, valid
 
 
 def _to_batch(plan: BatchPlan, words_dev, quals_dev, valid_dev) -> Batch:
