@@ -289,8 +289,15 @@ def find_survivors(
     # would lower to a while-loop layout-conversion copy every step.
     nbuck = index_bb.shape[0] // NUM_LISTS
     list_base_bb = (jnp.arange(NUM_LISTS, dtype=jnp.int32) * nbuck)[:, None]
-    lo = jnp.take(index_bb, h + list_base_bb)
-    hi = jnp.take(index_bb, h + 1 + list_base_bb)
+    # (lo, hi) are ADJACENT table entries — a W=2 slice fetch the Pallas
+    # row-DMA gather covers (~10 vs ~16 ns/element at the HBM-scale
+    # tables the big configs carry; ops/pallas_gather.py)
+    if use_pallas_gather(int(np.prod(h.shape)), 2,
+                         table_bytes=index_bb.size * 4):
+        lo, hi = gather_word_windows(index_bb, h + list_base_bb, 2)
+    else:
+        lo = jnp.take(index_bb, h + list_base_bb)
+        hi = jnp.take(index_bb, h + 1 + list_base_bb)
     # total real entries per list R_j = bb[j, nb]: invalid-window sentinel
     # entries (sig 0xFFFFFFFF) sort after every real entry (the build
     # orders them so), so clamping every range end to R_j excludes them
@@ -375,13 +382,27 @@ def find_survivors(
                       % NUM_LISTS) * M                    # [12]
         K1 = K if K <= 4 else 4
         lane1 = jnp.arange(K1, dtype=jnp.int32)
-        idxs = jnp.clip(begin_pm[..., None] + lane1, 0, M - 1) \
-            + probe_list[None, :, None]                   # [B, 12, K1]
-        lane_sig = jnp.take(sig_flat, idxs)
-        eq1 = lane_sig == probe_sig[..., None]
         lane_hi = None
+        if not sc.wide and use_pallas_gather(B * 2 * NUM_LISTS, K1):
+            # tier-1 lanes are K1 CONSECUTIVE list entries from `begin`
+            # — the same slice-fetch shape as the window words, so the
+            # Pallas row-DMA gather applies (~8 vs ~25 ms per 32k step
+            # at HBM-scale signature tables). Lanes that run past the
+            # clipped start read neighbor-list entries instead of
+            # clamped duplicates; all such lanes satisfy
+            # lane >= count (begin+count <= M) and are masked by
+            # in_range1 before any consumer sees the value.
+            start = jnp.clip(begin_pm, 0, M - 1) + probe_list[None, :]
+            lane_sig = jnp.stack(
+                gather_word_windows(sig_flat, start, K1), axis=-1)
+        else:
+            idxs = jnp.clip(begin_pm[..., None] + lane1, 0, M - 1) \
+                + probe_list[None, :, None]               # [B, 12, K1]
+            lane_sig = jnp.take(sig_flat, idxs)
+            if sc.wide:
+                lane_hi = jnp.take(sig_hi_flat, idxs)
+        eq1 = lane_sig == probe_sig[..., None]
         if sc.wide:
-            lane_hi = jnp.take(sig_hi_flat, idxs)
             eq1 &= lane_hi == probe_hi[..., None]
 
         def le_probe(lo32, hi32):

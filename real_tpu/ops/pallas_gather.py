@@ -46,12 +46,20 @@ _UNROLL = 4
 _MIN_LANES = 4096      # below this, XLA's gather overhead is noise
 
 
-def use_pallas_gather(n_lanes: int, w: int) -> bool:
+def use_pallas_gather(n_lanes: int, w: int, table_bytes: int = 0) -> bool:
     """Kernel applies: TPU backend, big enough batch, window fits the
-    2-row staging (w <= 128), not disabled for A/B."""
+    2-row staging (w <= 128), not disabled for A/B.
+
+    The kernel's ~20 ns/lane is issue-rate-bound, so per ELEMENT it
+    costs ~20/w ns vs XLA's ~9 ns (small tables) to ~16 ns (HBM-scale
+    tables, >~256 MB). W >= 3 wins everywhere; narrower slices only
+    win against the HBM-scale gather, so W < 3 requires a big table
+    (pass table_bytes; 0 = unknown = assume big)."""
     if os.environ.get("REAL_TPU_NO_PALLAS"):
         return False
     if w > 120 or n_lanes < _MIN_LANES:
+        return False
+    if w < 3 and 0 < table_bytes < 256 * 1024 * 1024:
         return False
     try:
         return jax.default_backend() == "tpu"
@@ -128,8 +136,12 @@ def gather_word_windows(words: jnp.ndarray, idx: jnp.ndarray, w: int):
     """words[idx[...] + k] for k in range(w) as a list of w arrays shaped
     like idx — a drop-in replacement for w separate clip-mode takes.
 
-    `words` is the 1-D uint32 packed text; `idx` int32 word offsets (any
-    shape). Out-of-range indices clamp like mode="clip"."""
+    `words` is a 1-D 32-bit table (packed text words, signature lists,
+    bucket tables); `idx` int32 start offsets (any shape). The START
+    index clamps like mode="clip"; elements past the table end read the
+    zero padding (callers mask them — the production windows never use
+    bits beyond pos+patl, and lane validity masks out-of-range lanes).
+    Output dtype matches the table's."""
     nch = SLAB // CHUNK
     shape = idx.shape
     n0 = int(np.prod(shape))
@@ -155,6 +167,6 @@ def gather_word_windows(words: jnp.ndarray, idx: jnp.ndarray, w: int):
             + jnp.zeros((1, 1, LANE), jnp.int32)
         outs.append(call(sl, cm, t2d).reshape(SLAB, w))
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
-    out = lax.bitcast_convert_type(out[:n0], jnp.uint32)
+    out = lax.bitcast_convert_type(out[:n0], words.dtype)
     out = out.reshape(*shape, w)
     return [out[..., k] for k in range(w)]
